@@ -1,0 +1,207 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters its behavior flags across HF dataclass CLI args,
+checkpoint `config.json` fields, `overwrite_config` dicts and hard-coded
+constants (SURVEY.md §5).  Here everything lives in frozen dataclasses so it
+can be closed over by `jax.jit` traces (configs are static).
+
+Reference anchors:
+  - LM config fields            : HF Qwen2 config (llava/model/language_model/llava_qwen.py)
+  - Vision config               : llava/model/multimodal_encoder/siglip_encoder.py:70-99
+  - Memory config               : llava/model/memory_module/MemoryController.py:7-18
+                                  overridden at llava/model/llava_arch.py:118-129
+  - Pipeline flags              : llava/train/train.py:70-192, scripts/train/finetune_short.sh
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    """Qwen2-family decoder config (matches HF `Qwen2Config` semantics)."""
+
+    vocab_size: int = 151936
+    hidden_size: int = 896
+    intermediate_size: int = 4864
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 14
+    num_key_value_heads: int = 2
+    head_dim: int = 64
+    max_position_embeddings: int = 32768
+    rope_theta: float = 1000000.0
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = True
+    attention_bias: bool = True       # Qwen2 uses bias on q/k/v, none on o
+    # dtype used for activations on device (params may be kept in fp32 master copies)
+    dtype: str = "bfloat16"
+
+    @property
+    def kv_groups(self) -> int:
+        return self.num_attention_heads // self.num_key_value_heads
+
+    @staticmethod
+    def qwen2_0_5b() -> "LMConfig":
+        return LMConfig()
+
+    @staticmethod
+    def qwen2_7b() -> "LMConfig":
+        return LMConfig(
+            hidden_size=3584,
+            intermediate_size=18944,
+            num_hidden_layers=28,
+            num_attention_heads=28,
+            num_key_value_heads=4,
+            head_dim=128,
+            tie_word_embeddings=False,
+        )
+
+    @staticmethod
+    def from_hf(cfg) -> "LMConfig":
+        """Build from a HF `Qwen2Config`-like object."""
+        n_heads = cfg.num_attention_heads
+        return LMConfig(
+            vocab_size=cfg.vocab_size,
+            hidden_size=cfg.hidden_size,
+            intermediate_size=cfg.intermediate_size,
+            num_hidden_layers=cfg.num_hidden_layers,
+            num_attention_heads=n_heads,
+            num_key_value_heads=getattr(cfg, "num_key_value_heads", n_heads),
+            head_dim=getattr(cfg, "head_dim", None) or cfg.hidden_size // n_heads,
+            max_position_embeddings=cfg.max_position_embeddings,
+            rope_theta=getattr(cfg, "rope_theta", 1000000.0),
+            rms_norm_eps=getattr(cfg, "rms_norm_eps", 1e-6),
+            tie_word_embeddings=getattr(cfg, "tie_word_embeddings", False),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    """SigLIP-SO400M vision tower config (siglip_encoder.py:70-99).
+
+    `num_used_layers` reflects the reference tower deleting its final encoder
+    layer so the output equals hidden_states[-2] (siglip_encoder.py:571-572).
+    """
+
+    hidden_size: int = 1152
+    intermediate_size: int = 4304
+    num_hidden_layers: int = 27
+    num_attention_heads: int = 16
+    image_size: int = 384
+    patch_size: int = 14
+    layer_norm_eps: float = 1e-6
+    hidden_act: str = "gelu_pytorch_tanh"
+    num_channels: int = 3
+    dtype: str = "bfloat16"
+
+    @property
+    def num_used_layers(self) -> int:
+        return self.num_hidden_layers - 1  # last layer dropped (select layer -2)
+
+    @property
+    def num_patches_per_side(self) -> int:
+        return self.image_size // self.patch_size  # 27
+
+    @property
+    def num_patches(self) -> int:
+        return self.num_patches_per_side**2  # 729
+
+
+@dataclasses.dataclass(frozen=True)
+class MemoryConfig:
+    """Recurrent-memory transformer config.
+
+    Defaults match the active overrides at llava_arch.py:118-129 (hidden size
+    is filled in from the LM at assembly time).
+    """
+
+    hidden_size: int = 896            # = LM hidden size
+    num_attention_heads: int = 8
+    patch_size: int = 196             # visual tokens per frame after 2x2 pool
+    layer_norm_eps: float = 1e-12
+    intermediate_mult: int = 4
+    hidden_act: str = "relu"
+    num_memory_tokens: int = 8
+    depth: int = 2
+    cache_cap: int = 10               # MemoryController.py:153
+    segment_frames: int = 32          # llava_arch.py:528
+    num_fine_frames: int = 32         # llava_arch.py:514
+    max_temporal_frames: int = 600    # llava_arch.py:146
+    learnable_pe: bool = False        # sinusoidal (llava_arch.py:148)
+
+    @property
+    def intermediate_size(self) -> int:
+        return self.intermediate_mult * self.hidden_size
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Multimodal assembly flags (persisted `model.config.*` in the reference).
+
+    Defaults are the *active* video recipe (scripts/train/finetune_short.sh).
+    """
+
+    mm_projector_type: str = "mlp2x_gelu"
+    mm_resampler_type: Optional[str] = None
+    mm_patch_merge_type: str = "spatial_unpad"
+    mm_newline_position: str = "one_token"
+    mm_spatial_pool_mode: str = "bilinear"
+    mm_spatial_pool_stride: int = 2
+    image_aspect_ratio: str = "anyres_max_9"
+    mm_vision_select_layer: int = -2
+    mm_vision_select_feature: str = "patch"
+    dropout_frames: bool = False
+    add_time_instruction: bool = False
+    use_pos_skipping: bool = False
+    pos_skipping_range: int = 4096
+    tokenizer_model_max_length: int = 32768
+    tokenizer_padding_side: str = "right"
+    frames_upbound: int = 300
+    video_fps: int = 1
+    force_sample: bool = False
+    # Frame-count buckets used to keep shapes static under jit.
+    frame_buckets: Tuple[int, ...] = (32, 64, 96, 128, 160, 192, 224, 256)
+
+
+@dataclasses.dataclass(frozen=True)
+class VLMConfig:
+    """Full model: tower + projector + memory + LM + pipeline flags."""
+
+    lm: LMConfig = dataclasses.field(default_factory=LMConfig)
+    vision: VisionConfig = dataclasses.field(default_factory=VisionConfig)
+    memory: MemoryConfig = dataclasses.field(default_factory=MemoryConfig)
+    pipeline: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+
+    def __post_init__(self):
+        if self.memory.hidden_size != self.lm.hidden_size:
+            object.__setattr__(
+                self, "memory",
+                dataclasses.replace(self.memory, hidden_size=self.lm.hidden_size),
+            )
+
+    @staticmethod
+    def onevision_0_5b() -> "VLMConfig":
+        return VLMConfig(lm=LMConfig.qwen2_0_5b())
+
+    @staticmethod
+    def onevision_7b() -> "VLMConfig":
+        return VLMConfig(lm=LMConfig.qwen2_7b())
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit sharding (replaces torchrun+NCCL+ZeRO).
+
+    Axes: `data` for per-host batch sharding (DCN-friendly), `fsdp` for
+    parameter/optimizer sharding (ICI), `tp` for tensor parallel on 7B+.
+    """
+
+    data: int = 1
+    fsdp: int = 1
+    tp: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.fsdp * self.tp

@@ -1,0 +1,223 @@
+"""Qwen2-family decoder LM, TPU-native.
+
+Re-implements the capability of the reference's stock HF `Qwen2ForCausalLM`
+(llava/model/language_model/llava_qwen.py:31 keeps the HF import) as pure
+functions over a parameter pytree:
+
+  - layers are *stacked* along a leading axis and iterated with `lax.scan`
+    (one compiled layer body instead of L inlined copies — fast XLA compiles,
+    natural remat boundary, and the layout FSDP/TP shardings key off);
+  - the KV cache is an explicit carried array `(L, B, Smax, Hkv, Dh)` with a
+    static max length, so the whole generate loop jits with fixed shapes;
+  - prefill uses `flash_attention` (Pallas on TPU), decode uses the fused
+    single-query path.
+
+Numerics match HF Qwen2 (fp32 softmax + RMSNorm accumulation, rotate_half
+RoPE, GQA repeat order) — pinned by tests/test_qwen2_parity.py against a tiny
+HF checkpoint.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from memory_augmented_vlm_tpu.config import LMConfig
+from memory_augmented_vlm_tpu.ops.attention import (
+    decode_attention,
+    flash_attention,
+    mha_attention,
+    repeat_kv,
+)
+from memory_augmented_vlm_tpu.ops.norms import rms_norm
+from memory_augmented_vlm_tpu.ops.rope import apply_rope, compute_rope_freqs, rope_cos_sin
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache carried through the decode loop."""
+
+    k: jax.Array  # (L, B, Smax, Hkv, Dh)
+    v: jax.Array  # (L, B, Smax, Hkv, Dh)
+    length: jax.Array  # (B,) int32 — number of valid positions per sequence
+
+    @staticmethod
+    def zeros(cfg: LMConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        return KVCache(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((batch,), jnp.int32),
+        )
+
+
+def init_params(cfg: LMConfig, key: jax.Array, dtype=jnp.float32):
+    """Random init (for tests / from-scratch training). HF-style scales."""
+    L, H, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    NH, NKV, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    ks = jax.random.split(key, 10)
+
+    def dense(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape) * scale).astype(dtype)
+
+    params = {
+        "embed_tokens": dense(ks[0], (cfg.vocab_size, H)),
+        "layers": {
+            "input_layernorm": jnp.ones((L, H), dtype),
+            "post_attention_layernorm": jnp.ones((L, H), dtype),
+            "q_proj": {"kernel": dense(ks[1], (L, H, NH * D)), "bias": jnp.zeros((L, NH * D), dtype)},
+            "k_proj": {"kernel": dense(ks[2], (L, H, NKV * D)), "bias": jnp.zeros((L, NKV * D), dtype)},
+            "v_proj": {"kernel": dense(ks[3], (L, H, NKV * D)), "bias": jnp.zeros((L, NKV * D), dtype)},
+            "o_proj": {"kernel": dense(ks[4], (L, NH * D, H))},
+            "gate_proj": {"kernel": dense(ks[5], (L, H, I))},
+            "up_proj": {"kernel": dense(ks[6], (L, H, I))},
+            "down_proj": {"kernel": dense(ks[7], (L, I, H))},
+        },
+        "norm": jnp.ones((H,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(ks[8], (H, cfg.vocab_size))
+    return params
+
+
+def embed_tokens(params, input_ids: jax.Array) -> jax.Array:
+    return jnp.take(params["embed_tokens"], input_ids, axis=0)
+
+
+def unembed(params, cfg: LMConfig, hidden: jax.Array) -> jax.Array:
+    """Final norm already applied by the caller; project to vocab in fp32."""
+    w = params["embed_tokens"].T if cfg.tie_word_embeddings else params["lm_head"]
+    return jnp.einsum("...h,hv->...v", hidden, w, preferred_element_type=jnp.float32)
+
+
+def _layer_mlp(lp, x):
+    gate = jnp.einsum("bsh,hi->bsi", x, lp["gate_proj"]["kernel"])
+    up = jnp.einsum("bsh,hi->bsi", x, lp["up_proj"]["kernel"])
+    return jnp.einsum("bsi,ih->bsh", jax.nn.silu(gate) * up, lp["down_proj"]["kernel"])
+
+
+def _qkv(lp, cfg: LMConfig, x):
+    b, s, _ = x.shape
+    NH, NKV, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q = jnp.einsum("bsh,hd->bsd", x, lp["q_proj"]["kernel"]) + lp["q_proj"]["bias"]
+    k = jnp.einsum("bsh,hd->bsd", x, lp["k_proj"]["kernel"]) + lp["k_proj"]["bias"]
+    v = jnp.einsum("bsh,hd->bsd", x, lp["v_proj"]["kernel"]) + lp["v_proj"]["bias"]
+    return (
+        q.reshape(b, s, NH, D),
+        k.reshape(b, s, NKV, D),
+        v.reshape(b, s, NKV, D),
+    )
+
+
+def forward(
+    params,
+    cfg: LMConfig,
+    inputs_embeds: jax.Array,
+    positions: jax.Array,
+    valid_len: Optional[jax.Array] = None,
+    *,
+    cache_max_len: Optional[int] = None,
+    remat: bool = False,
+    force_reference_attention: bool = False,
+) -> Tuple[jax.Array, KVCache]:
+    """Full-sequence forward (prefill / training).
+
+    inputs_embeds: (B, S, H) — already spliced with visual embeddings.
+    positions:     (B, S) int32 RoPE positions.
+    valid_len:     (B,) int32 — right-padded valid length (None = all valid).
+    cache_max_len: if set, the returned KVCache is padded to this length so
+                   decode can continue in place.
+
+    Returns (hidden_states (B, S, H) after final norm, KVCache).
+    """
+    b, s, _ = inputs_embeds.shape
+    inv_freq = compute_rope_freqs(cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, inv_freq)
+
+    if valid_len is None:
+        valid_len = jnp.full((b,), s, jnp.int32)
+
+    def layer_body(hidden, lp):
+        residual = hidden
+        x = rms_norm(hidden, lp["input_layernorm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(lp, cfg, x)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kq = repeat_kv(k, cfg.kv_groups)
+        vq = repeat_kv(v, cfg.kv_groups)
+        attn = flash_attention(
+            q, kq, vq,
+            causal=True,
+            kv_valid_len=valid_len,
+            force_reference=force_reference_attention,
+        )
+        attn = attn.reshape(b, s, -1)
+        attn = jnp.einsum("bsd,dh->bsh", attn, lp["o_proj"]["kernel"])
+        hidden = residual + attn
+        residual = hidden
+        x = rms_norm(hidden, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        hidden = residual + _layer_mlp(lp, x)
+        return hidden, (k, v)
+
+    if remat:
+        layer_body = jax.checkpoint(layer_body, prevent_cse=False)
+
+    hidden, (ks, vs) = jax.lax.scan(layer_body, inputs_embeds, params["layers"])
+    hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
+
+    max_len = cache_max_len or s
+    if max_len < s:
+        raise ValueError(f"cache_max_len {max_len} < sequence length {s}")
+    pad = max_len - s
+    if pad:
+        pad_spec = ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))
+        ks = jnp.pad(ks, pad_spec)
+        vs = jnp.pad(vs, pad_spec)
+    cache = KVCache(k=ks, v=vs, length=valid_len)
+    return hidden, cache
+
+
+def decode_step(
+    params,
+    cfg: LMConfig,
+    token_embeds: jax.Array,
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    """One decode step with in-place (donated) cache update.
+
+    token_embeds: (B, 1, H). cache.length counts existing valid positions; the
+    new token is written at index cache.length and the returned cache has
+    length+1.
+    """
+    b = token_embeds.shape[0]
+    inv_freq = compute_rope_freqs(cfg.head_dim, cfg.rope_theta)
+    pos = cache.length  # (B,) — position of the new token
+    cos, sin = rope_cos_sin(pos[:, None], inv_freq)
+
+    def layer_body(carry, xs):
+        hidden = carry
+        lp, layer_k, layer_v = xs
+        residual = hidden
+        x = rms_norm(hidden, lp["input_layernorm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(lp, cfg, x)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        # write new kv at position cache.length (per batch)
+        batch_idx = jnp.arange(b)
+        layer_k = layer_k.at[batch_idx, pos].set(k[:, 0])
+        layer_v = layer_v.at[batch_idx, pos].set(v[:, 0])
+        attn = decode_attention(q, layer_k, layer_v, pos + 1, kv_groups=cfg.kv_groups)
+        attn = attn.reshape(b, 1, -1)
+        attn = jnp.einsum("bsd,dh->bsh", attn, lp["o_proj"]["kernel"])
+        hidden = residual + attn
+        residual = hidden
+        x = rms_norm(hidden, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        hidden = residual + _layer_mlp(lp, x)
+        return hidden, (layer_k, layer_v)
+
+    hidden, (new_k, new_v) = jax.lax.scan(
+        layer_body, token_embeds, (params["layers"], cache.k, cache.v)
+    )
+    hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
+    return hidden, KVCache(k=new_k, v=new_v, length=cache.length + 1)

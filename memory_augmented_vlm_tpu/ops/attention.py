@@ -1,0 +1,132 @@
+"""Attention ops — the TPU replacement for flash-attn-2 (SURVEY.md §2.9).
+
+Three entry points:
+  - `mha_attention`     : general batched attention (self or cross), fp32
+                          softmax, optional additive mask. XLA-fused reference
+                          path; used by the vision tower and the memory module
+                          and as the numerical oracle for the Pallas kernels.
+  - `flash_attention`   : tiled Pallas flash-attention for LM prefill (causal,
+                          long sequence). Falls back to `mha_attention` off-TPU
+                          or for tiny shapes.
+  - `decode_attention`  : single-query attention against a padded KV cache
+                          (latency-critical decode step).
+
+All softmax math is fp32 regardless of input dtype (matches flash-attn-2 and
+HF eager attention numerics).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # finite large-negative to avoid NaN from (-inf) - (-inf)
+
+
+def mha_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    *,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Batched multi-head attention.
+
+    q: (B, Sq, H, D); k, v: (B, Sk, H, D)   [H may differ via GQA — repeat first]
+    mask: broadcastable to (B, H, Sq, Sk); True/nonzero = attend.
+    Returns (B, Sq, H, D) in q.dtype.
+    """
+    dtype = q.dtype
+    d = q.shape[-1]
+    scale = scale if scale is not None else d**-0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if causal:
+        sq, sk = q.shape[1], k.shape[1]
+        # queries are the last sq positions of the sk-long sequence
+        qpos = jnp.arange(sq)[:, None] + (sk - sq)
+        kpos = jnp.arange(sk)[None, :]
+        logits = jnp.where(kpos <= qpos, logits, NEG_INF)
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v)
+    return out
+
+
+def repeat_kv(x: jax.Array, groups: int) -> jax.Array:
+    """(B, S, Hkv, D) -> (B, S, Hkv*groups, D), matching HF repeat_kv order."""
+    if groups == 1:
+        return x
+    b, s, h, d = x.shape
+    x = jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, groups, d))
+    return x.reshape(b, s, h * groups, d)
+
+
+def decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    cache_len: jax.Array,
+    *,
+    kv_groups: int = 1,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Single-position attention against a padded KV cache.
+
+    q:        (B, 1, H, D)
+    k_cache:  (B, Smax, Hkv, D) — only the first `cache_len` entries are valid.
+    cache_len:(B,) int32 — number of valid cache positions (including current).
+    """
+    dtype = q.dtype
+    d = q.shape[-1]
+    scale = scale if scale is not None else d**-0.5
+    k = repeat_kv(k_cache, kv_groups)
+    v = repeat_kv(v_cache, kv_groups)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    valid = jnp.arange(k.shape[1])[None, None, None, :] < cache_len[:, None, None, None]
+    logits = jnp.where(valid, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    q_valid_len: Optional[jax.Array] = None,
+    kv_valid_len: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    force_reference: bool = False,
+) -> jax.Array:
+    """Flash attention for LM prefill. Dispatches to the Pallas kernel on TPU.
+
+    q, k, v: (B, S, H, D) — same H (repeat GQA beforehand) and same S.
+    *_valid_len: (B,) int32 — padding masks for bucketed sequence lengths.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = (
+        on_tpu
+        and not force_reference
+        and q.shape[1] >= 256
+        and q.shape[-1] in (64, 128, 256)
+        and q.shape[1] % 128 == 0
+    )
+    if use_pallas:
+        from memory_augmented_vlm_tpu.ops.pallas_flash import pallas_flash_attention
+
+        return pallas_flash_attention(
+            q, k, v, causal=causal, q_valid_len=q_valid_len,
+            kv_valid_len=kv_valid_len, scale=scale,
+        )
+    mask = None
+    if kv_valid_len is not None:
+        mask = jnp.arange(k.shape[1])[None, None, None, :] < kv_valid_len[:, None, None, None]
+    return mha_attention(q, k, v, mask=mask, causal=causal, scale=scale)
