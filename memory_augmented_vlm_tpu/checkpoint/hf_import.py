@@ -142,6 +142,7 @@ def convert_siglip(sd: Dict[str, np.ndarray], cfg) -> dict:
     sd = _strip_prefix(
         sd,
         (
+            "model.vision_tower.vision_tower.vision_model.",
             "vision_tower.vision_tower.vision_model.",
             "vision_tower.vision_model.",
             "vision_model.",

@@ -1,0 +1,214 @@
+"""Model loading — the public `load_pretrained_model` API
+(reference: llava/model/builder.py:27-305).
+
+Returns the same 4-tuple `(tokenizer, model, image_processor, context_len)`
+the lmms-eval `llava_onevision` adapter and all serve/demo entry points
+consume. Reads HF-format LlavaQwen checkpoints (config.json +
+*.safetensors with `model.`-prefixed LM keys and sibling multimodal keys)
+straight into the JAX pytree via checkpoint/hf_import.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from memory_augmented_vlm_tpu.config import (
+    LMConfig,
+    MemoryConfig,
+    PipelineConfig,
+    VisionConfig,
+    VLMConfig,
+)
+from memory_augmented_vlm_tpu.checkpoint import hf_import
+from memory_augmented_vlm_tpu.data.preprocessing import SigLipImageProcessor
+from memory_augmented_vlm_tpu.eval.model import MavlmForCausalLM
+
+
+def infer_vision_config(sd: dict) -> VisionConfig:
+    """Infer the tower geometry from checkpoint tensors (the reference infers
+    it from the tower name string; tensors are more robust for tiny tests)."""
+    import re as _re
+
+    pe_key = next((k for k in sd if k.endswith("embeddings.patch_embedding.weight")), None)
+    if pe_key is None:
+        return VisionConfig()
+    w = sd[pe_key]  # (out, in, kh, kw) torch conv layout
+    hidden, _, patch, _ = w.shape
+    pos_key = next(k for k in sd if k.endswith("embeddings.position_embedding.weight"))
+    num_patches = sd[pos_key].shape[0]
+    side = int(round(num_patches ** 0.5))
+    layers = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := _re.search(r"encoder\.layers\.(\d+)\.", k))
+    )
+    fc1_key = next(k for k in sd if k.endswith("layers.0.mlp.fc1.weight"))
+    inter = sd[fc1_key].shape[0]
+    # head count is not recoverable from shapes; SigLIP uses hidden/72=16 for
+    # SO400M — default to 16 when divisible, else 8
+    heads = 16 if hidden % 16 == 0 else 8
+    return VisionConfig(
+        hidden_size=hidden,
+        intermediate_size=inter,
+        num_hidden_layers=layers + 1,  # checkpoint holds the trimmed tower
+        num_attention_heads=heads,
+        image_size=side * patch,
+        patch_size=patch,
+    )
+
+
+def infer_memory_config(sd: dict, lm_hidden: int) -> MemoryConfig:
+    import re as _re
+
+    init_key = next((k for k in sd if k.endswith("recurrent_memory_transformer.initial_memory")), None)
+    if init_key is None:
+        return MemoryConfig(hidden_size=lm_hidden)
+    nm, pp, _ = sd[init_key].shape
+    depth_idx = [
+        int(m.group(1))
+        for k in sd
+        if (m := _re.search(r"recurrent_memory_transformer\.layers\.(\d+)\.", k))
+    ]
+    depth = 1 + max(depth_idx) if depth_idx else 2
+    return MemoryConfig(hidden_size=lm_hidden, num_memory_tokens=nm,
+                        patch_size=pp, depth=depth)
+
+
+def config_from_json(raw: dict) -> VLMConfig:
+    """Map a LlavaQwen HF config.json onto our typed config."""
+    lm = LMConfig(
+        vocab_size=raw.get("vocab_size", 151936),
+        hidden_size=raw.get("hidden_size", 896),
+        intermediate_size=raw.get("intermediate_size", 4864),
+        num_hidden_layers=raw.get("num_hidden_layers", 24),
+        num_attention_heads=raw.get("num_attention_heads", 14),
+        num_key_value_heads=raw.get("num_key_value_heads", 2),
+        head_dim=raw.get("head_dim",
+                         raw.get("hidden_size", 896) // raw.get("num_attention_heads", 14)),
+        max_position_embeddings=raw.get("max_position_embeddings", 32768),
+        rope_theta=raw.get("rope_theta", 1000000.0),
+        rms_norm_eps=raw.get("rms_norm_eps", 1e-6),
+        tie_word_embeddings=raw.get("tie_word_embeddings", False),
+    )
+    pipeline = PipelineConfig(
+        mm_projector_type=raw.get("mm_projector_type", "mlp2x_gelu"),
+        mm_patch_merge_type=raw.get("mm_patch_merge_type", "spatial_unpad"),
+        mm_newline_position=raw.get("mm_newline_position", "one_token"),
+        mm_spatial_pool_mode=raw.get("mm_spatial_pool_mode", "bilinear"),
+        image_aspect_ratio=raw.get("image_aspect_ratio", "anyres_max_9"),
+        dropout_frames=raw.get("dropout_frames", False),
+        add_time_instruction=raw.get("add_time_instruction", False),
+        tokenizer_model_max_length=raw.get("tokenizer_model_max_length", 32768),
+        frames_upbound=raw.get("frames_upbound", 300),
+    )
+    return VLMConfig(lm=lm, pipeline=pipeline,
+                     vision=VisionConfig(), memory=MemoryConfig(hidden_size=lm.hidden_size))
+
+
+def config_from_json_and_weights(raw: dict, sd: dict) -> VLMConfig:
+    base = config_from_json(raw)
+    import dataclasses as _dc
+
+    return _dc.replace(
+        base,
+        vision=infer_vision_config(sd),
+        memory=infer_memory_config(sd, base.lm.hidden_size),
+    )
+
+
+def load_pretrained_model(
+    model_path: str,
+    model_base: Optional[str] = None,
+    model_name: Optional[str] = None,
+    torch_dtype: str = "bfloat16",
+    attn_implementation: str = "pallas_flash",  # accepted for signature parity
+    device_map: str = "auto",
+    overwrite_config: Optional[dict] = None,
+    **kwargs,
+) -> Tuple[object, MavlmForCausalLM, SigLipImageProcessor, int]:
+    """Load an HF-format checkpoint directory into the TPU-native model.
+
+    Mirrors builder.py:27-305's contract: `overwrite_config` entries override
+    config.json fields (this is how lmms-eval passes `max_frames_num` etc.);
+    returns context_len resolved from max_sequence_length /
+    max_position_embeddings / tokenizer_model_max_length / 2048.
+    """
+    with open(os.path.join(model_path, "config.json")) as f:
+        raw = json.load(f)
+    if overwrite_config:
+        raw.update(overwrite_config)
+    sd = hf_import.load_safetensors_dir(model_path)
+    cfg = config_from_json_and_weights(raw, sd)
+    dtype = jnp.bfloat16 if torch_dtype in ("bfloat16", "auto") else jnp.float32
+
+    lm_sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")
+             and not k.startswith(("model.vision_tower", "model.mm_projector",
+                                   "model.recurrent_memory_transformer",
+                                   "model.memory_fuser", "model.token_type_embedding",
+                                   "model.positional_encoding", "model.image_newline",
+                                   "model.vision_resampler"))}
+    if "lm_head.weight" in sd:
+        lm_sd["lm_head.weight"] = sd["lm_head.weight"]
+    params = {
+        "language_model": hf_import.convert_qwen2(lm_sd, cfg.lm),
+        "vision_tower": hf_import.convert_siglip(
+            {k: v for k, v in sd.items() if k.startswith("model.vision_tower")},
+            cfg.vision,
+        ),
+        "mm_projector": hf_import.convert_projector(sd, cfg.pipeline.mm_projector_type),
+    }
+    params.update(_memory_and_pe(sd, cfg, dtype))
+    params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+
+    tokenizer = None
+    try:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(model_path)
+    except Exception:
+        pass
+
+    image_processor = SigLipImageProcessor()
+    model = MavlmForCausalLM(params, cfg, raw_config=raw, dtype=dtype)
+
+    context_len = (
+        raw.get("max_sequence_length")
+        or raw.get("max_position_embeddings")
+        or raw.get("tokenizer_model_max_length")
+        or 2048
+    )
+    return tokenizer, model, image_processor, context_len
+
+
+def _memory_and_pe(sd, cfg: VLMConfig, dtype):
+    from memory_augmented_vlm_tpu.models.position_encoding import init_params as pe_init
+
+    mem_keys = {k: v for k, v in sd.items() if any(
+        t in k for t in ("recurrent_memory_transformer", "memory_fuser",
+                         "token_type_embedding", "image_newline"))}
+    out = {}
+    if mem_keys:
+        out["memory"] = hf_import.convert_memory_modules(mem_keys, cfg.memory.depth)
+    else:
+        # checkpoints without memory weights (plain OneVision): init fresh
+        from memory_augmented_vlm_tpu.models import vlm as vlm_mod
+
+        full = vlm_mod.init_params(cfg, jax.random.key(0), dtype)
+        out["memory"] = full["memory"]
+    if "image_newline" not in out["memory"]:
+        newline = sd.get("model.image_newline")
+        if newline is None:
+            newline = np.random.default_rng(0).standard_normal(
+                cfg.lm.hidden_size).astype(np.float32) / np.sqrt(cfg.lm.hidden_size)
+        out["memory"]["image_newline"] = newline
+    out["positional_encoding"] = pe_init(
+        cfg.memory.max_temporal_frames, cfg.lm.hidden_size, cfg.memory.learnable_pe,
+        key=jax.random.key(0),
+    )
+    return out

@@ -1,0 +1,136 @@
+"""Object-oriented shell over the functional core — the public inference API
+surface that the reference exposes as `LlavaQwenForCausalLM`
+(llava/model/language_model/llava_qwen.py:116-136) and that the lmms-eval
+`llava_onevision` adapter consumes.
+
+The shell holds (params, VLMConfig, tokenizer) and routes `.generate()`
+through the jitted functional pipeline (models/vlm.py). Accepts numpy or
+torch tensors for ids/images (lmms-eval passes torch CPU tensors).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from memory_augmented_vlm_tpu import constants
+from memory_augmented_vlm_tpu.config import VLMConfig
+from memory_augmented_vlm_tpu.models import vlm
+
+
+def _to_numpy(x) -> np.ndarray:
+    if hasattr(x, "detach"):  # torch tensor
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x)
+
+
+class MavlmConfig:
+    """Duck-typed stand-in for the HF config object callers poke at."""
+
+    def __init__(self, cfg: VLMConfig, raw: Optional[dict] = None):
+        self._cfg = cfg
+        self.hidden_size = cfg.lm.hidden_size
+        self.vocab_size = cfg.lm.vocab_size
+        self.max_position_embeddings = cfg.lm.max_position_embeddings
+        self.mm_newline_position = cfg.pipeline.mm_newline_position
+        self.mm_spatial_pool_mode = cfg.pipeline.mm_spatial_pool_mode
+        self.mm_patch_merge_type = cfg.pipeline.mm_patch_merge_type
+        self.image_aspect_ratio = cfg.pipeline.image_aspect_ratio
+        self.tokenizer_model_max_length = cfg.pipeline.tokenizer_model_max_length
+        self.tokenizer_padding_side = cfg.pipeline.tokenizer_padding_side
+        for k, v in (raw or {}).items():
+            if not hasattr(self, k):
+                try:
+                    setattr(self, k, v)
+                except Exception:
+                    pass
+
+
+class MavlmForCausalLM:
+    """Flagship VLM with the reference's `.generate` signature."""
+
+    def __init__(self, params, cfg: VLMConfig, raw_config: Optional[dict] = None,
+                 dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.config = MavlmConfig(cfg, raw_config)
+        self.dtype = dtype
+        self.device = "tpu"
+
+    def eval(self):
+        return self
+
+    def to(self, *args, **kwargs):
+        return self
+
+    def half(self):
+        return self
+
+    def tie_weights(self):
+        return self
+
+    def generate(
+        self,
+        input_ids,
+        images: Optional[Union[Sequence, np.ndarray]] = None,
+        modalities: Union[str, Sequence[str]] = "image",
+        image_sizes=None,
+        attention_mask=None,
+        do_sample: bool = False,
+        temperature: float = 0.0,
+        top_p: Optional[float] = None,
+        num_beams: int = 1,
+        max_new_tokens: int = 128,
+        eos_token_id: Optional[Union[int, Sequence[int]]] = None,
+        **kwargs,
+    ) -> np.ndarray:
+        """Single-sample multimodal generate (batch of 1, like the reference
+        eval path). Returns (1, n_new) generated ids (no prompt echo —
+        matching the reference model's `generate` which receives
+        inputs_embeds and returns only new tokens)."""
+        ids = _to_numpy(input_ids).astype(np.int64)
+        if ids.ndim == 2:
+            assert ids.shape[0] == 1, "batch>1 eval uses data parallelism"
+            ids = ids[0]
+        if isinstance(modalities, str):
+            modalities = [modalities]
+
+        eos: tuple
+        if eos_token_id is None:
+            eos = (151645,)  # <|im_end|>
+        elif isinstance(eos_token_id, int):
+            eos = (eos_token_id,)
+        else:
+            eos = tuple(eos_token_id)
+
+        if images is None or constants.IMAGE_TOKEN_INDEX not in ids:
+            embeds = jnp.asarray(
+                vlm.qwen2.embed_tokens(
+                    self.params["language_model"], jnp.asarray(ids, jnp.int32)
+                ),
+                self.dtype,
+            )
+        else:
+            img = images[0] if isinstance(images, (list, tuple)) else images
+            pixels = _to_numpy(img)
+            if pixels.ndim == 3:
+                pixels = pixels[None]
+            # channel-first torch layout -> channel-last
+            if pixels.shape[1] == 3 and pixels.shape[-1] != 3:
+                pixels = pixels.transpose(0, 2, 3, 1)
+            embeds = vlm.video_qa_embeds(self.params, self.cfg, pixels, ids)
+
+        temp = float(temperature) if do_sample else 0.0
+        out = vlm.generate(
+            self.params, self.cfg, embeds,
+            max_new_tokens=max_new_tokens,
+            eos_token_ids=eos,
+            temperature=temp,
+        )
+        n = int(out.num_tokens)
+        tokens = np.asarray(out.tokens)[:n]
+        # strip trailing eos to mirror HF skip_special_tokens decoding
+        return tokens[None, :]

@@ -120,6 +120,7 @@ def forward(
     cache_max_len: Optional[int] = None,
     remat: bool = False,
     force_reference_attention: bool = False,
+    differentiable_attention: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Full-sequence forward (prefill / training).
 
@@ -151,6 +152,7 @@ def forward(
             causal=True,
             kv_valid_len=valid_len,
             force_reference=force_reference_attention,
+            differentiable=differentiable_attention,
         )
         attn = attn.reshape(b, s, -1)
         attn = jnp.einsum("bsd,dh->bsh", attn, lp["o_proj"]["kernel"])

@@ -1,0 +1,112 @@
+"""SigLIP-SO400M vision tower, TPU-native.
+
+Capability parity with the reference's from-scratch SigLIP implementation
+(llava/model/multimodal_encoder/siglip_encoder.py), rebuilt as pure functions:
+
+  - the tower drops the final encoder layer and bypasses the pooling head, so
+    its output equals `hidden_states[-2]` of the full model — **without**
+    post_layernorm (reference: siglip_encoder.py:571-572 deletes the layer,
+    and the hidden_states tap at :583-588 is pre-post_layernorm);
+  - 26 encoder layers run under one `lax.scan` body (stacked params);
+  - patch embedding is a 14x14/stride-14 valid conv -> 729 patches + learned
+    position embeddings, no CLS token;
+  - attention uses the shared fp32-softmax `mha_attention`, MLP is
+    gelu_pytorch_tanh (`jax.nn.gelu(approximate=True)` matches).
+
+The tower is frozen on the active path (siglip_encoder.py:573) — training
+code applies `jax.lax.stop_gradient` at the projector boundary
+(llava_arch.py:302 `.detach()` equivalence).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from memory_augmented_vlm_tpu.config import VisionConfig
+from memory_augmented_vlm_tpu.ops.attention import mha_attention
+from memory_augmented_vlm_tpu.ops.norms import layer_norm
+
+
+def init_params(cfg: VisionConfig, key: jax.Array, dtype=jnp.float32):
+    """Random init with HF-like shapes (for tests)."""
+    L = cfg.num_used_layers
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    ks = jax.random.split(key, 12)
+
+    def dense(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape) * scale).astype(dtype)
+
+    def ln(L=None):
+        shape = (L, H) if L else (H,)
+        return {"weight": jnp.ones(shape, dtype), "bias": jnp.zeros(shape, dtype)}
+
+    return {
+        "patch_embedding": {
+            "kernel": dense(ks[0], (cfg.patch_size, cfg.patch_size, cfg.num_channels, H)),
+            "bias": jnp.zeros((H,), dtype),
+        },
+        "position_embedding": dense(ks[1], (cfg.num_patches, H)),
+        "layers": {
+            "layer_norm1": ln(L),
+            "layer_norm2": ln(L),
+            "q_proj": {"kernel": dense(ks[2], (L, H, H)), "bias": jnp.zeros((L, H), dtype)},
+            "k_proj": {"kernel": dense(ks[3], (L, H, H)), "bias": jnp.zeros((L, H), dtype)},
+            "v_proj": {"kernel": dense(ks[4], (L, H, H)), "bias": jnp.zeros((L, H), dtype)},
+            "out_proj": {"kernel": dense(ks[5], (L, H, H)), "bias": jnp.zeros((L, H), dtype)},
+            "fc1": {"kernel": dense(ks[6], (L, H, I)), "bias": jnp.zeros((L, I), dtype)},
+            "fc2": {"kernel": dense(ks[7], (L, I, H)), "bias": jnp.zeros((L, H), dtype)},
+        },
+        "post_layernorm": ln(),
+    }
+
+
+def _linear(p, x):
+    return jnp.einsum("...i,io->...o", x, p["kernel"]) + p["bias"]
+
+
+def embed_patches(params, cfg: VisionConfig, pixel_values: jax.Array) -> jax.Array:
+    """(B, H, W, C) in [-1, 1] -> (B, 729, hidden). Channel-last (NHWC) layout
+    — the TPU-native conv layout, converted from torch NCHW at import time."""
+    out = jax.lax.conv_general_dilated(
+        pixel_values,
+        params["patch_embedding"]["kernel"].astype(pixel_values.dtype),
+        window_strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = out + params["patch_embedding"]["bias"].astype(out.dtype)
+    b = out.shape[0]
+    out = out.reshape(b, cfg.num_patches, cfg.hidden_size)
+    return out + params["position_embedding"].astype(out.dtype)
+
+
+def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *, remat: bool = False) -> jax.Array:
+    """Vision tower forward: (B, H, W, C) pixels -> (B, 729, 1152) features."""
+    hidden = embed_patches(params, cfg, pixel_values)
+    b, s, h = hidden.shape
+    nh = cfg.num_attention_heads
+    hd = h // nh
+
+    def layer_body(hidden, lp):
+        residual = hidden
+        x = layer_norm(hidden, lp["layer_norm1"]["weight"], lp["layer_norm1"]["bias"],
+                       cfg.layer_norm_eps)
+        q = _linear(lp["q_proj"], x).reshape(b, s, nh, hd)
+        k = _linear(lp["k_proj"], x).reshape(b, s, nh, hd)
+        v = _linear(lp["v_proj"], x).reshape(b, s, nh, hd)
+        attn = mha_attention(q, k, v).reshape(b, s, h)
+        hidden = residual + _linear(lp["out_proj"], attn)
+        residual = hidden
+        x = layer_norm(hidden, lp["layer_norm2"]["weight"], lp["layer_norm2"]["bias"],
+                       cfg.layer_norm_eps)
+        x = _linear(lp["fc1"], x)
+        x = jax.nn.gelu(x, approximate=True)  # gelu_pytorch_tanh
+        hidden = residual + _linear(lp["fc2"], x)
+        return hidden, None
+
+    if remat:
+        layer_body = jax.checkpoint(layer_body, prevent_cse=False)
+    hidden, _ = jax.lax.scan(layer_body, hidden, params["layers"])
+    # NOTE: no post_layernorm — the reference taps pre-norm hidden states.
+    return hidden

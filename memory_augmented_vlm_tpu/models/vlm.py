@@ -1,0 +1,311 @@
+"""Full multimodal model assembly — the TPU rebuild of the reference's
+`prepare_inputs_labels_for_multimodal` spine + `generate`
+(llava/model/llava_arch.py:388-878, llava/model/language_model/llava_qwen.py).
+
+Pipeline for the flagship video path (SURVEY.md §3.1):
+
+  host: decode/sample frames -> `sample_video_frames` (reproduces
+        llava_arch.py:437-457: F<32 keeps all, else (F//32)*32 with min 64,
+        truncating linspace) and `fine_frame_indices`
+        (llava_arch.py:520-522: rounding linspace, clamped)
+  device (all jit, static shapes keyed on (frame bucket, nseg, nfine)):
+        SigLIP tower -> mlp2x_gelu projector (stop_gradient == .detach(),
+        llava_arch.py:302) -> 2x2 bilinear pool -> temporal PE ->
+        recurrent memory scan -> memory fuser -> token-type embeds ->
+        one_token flatten + image_newline -> prompt splice ->
+        Qwen2 prefill -> greedy/sampled decode with KV cache.
+
+Token accounting matches the reference exactly: 10 memory-prompt + nseg*8*196
+memory + 1 newline + 9 frame-prompt + nfine*196 fine + 1 newline visual
+tokens (BASELINE.md invariant).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from memory_augmented_vlm_tpu import constants
+from memory_augmented_vlm_tpu.config import VLMConfig
+from memory_augmented_vlm_tpu.models import memory as memory_mod
+from memory_augmented_vlm_tpu.models import projector as projector_mod
+from memory_augmented_vlm_tpu.models import qwen2, siglip
+from memory_augmented_vlm_tpu.models.position_encoding import add_temporal_pe
+from memory_augmented_vlm_tpu.models.position_encoding import init_params as pe_init
+from memory_augmented_vlm_tpu.ops.pooling import spatial_pool_2x2
+
+
+# ---------------------------------------------------------------------------
+# Host-side frame sampling (exact reference arithmetic)
+# ---------------------------------------------------------------------------
+
+def sample_video_frames(num_frames: int) -> np.ndarray:
+    """Frame re-sampling at fusion time (llava_arch.py:437-457).
+
+    <32 frames: keep all. Otherwise (F//32)*32, floored at 64; indices are
+    `torch.linspace(0, F-1, n).long()` — i.e. truncation, not rounding.
+    """
+    if num_frames < 32:
+        return np.arange(num_frames, dtype=np.int64)
+    n = (num_frames // 32) * 32
+    if n < 64:
+        n = 64
+    return np.linspace(0, num_frames - 1, n).astype(np.int64)  # trunc like .long()
+
+
+def fine_frame_indices(num_frames: int, num_samples: int = 32) -> np.ndarray:
+    """Fine-grained frame sampling (llava_arch.py:520-522): rounding linspace,
+    clamped. num_frames here is the *sampled* frame count."""
+    n = min(num_samples, num_frames)
+    idx = np.round(np.linspace(0, num_frames - 1, n))
+    return np.clip(idx, 0, num_frames - 1).astype(np.int64)
+
+
+def pad_frames_to_segment_multiple(f: int, segment: int = 32) -> int:
+    return ((f + segment - 1) // segment) * segment
+
+
+# ---------------------------------------------------------------------------
+# Parameter assembly
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: VLMConfig, key: jax.Array, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+    h = cfg.lm.hidden_size
+    embed_std = 1.0 / np.sqrt(h)
+    return {
+        "vision_tower": siglip.init_params(cfg.vision, ks[0], dtype),
+        "mm_projector": projector_mod.init_params(
+            cfg.pipeline.mm_projector_type, cfg.vision.hidden_size, h, ks[1], dtype
+        ),
+        "language_model": qwen2.init_params(cfg.lm, ks[2], dtype),
+        "memory": {
+            "recurrent_memory_transformer": memory_mod.init_params(cfg.memory, ks[3], dtype),
+            "memory_fuser": {
+                "fc1": {"kernel": (jax.random.normal(ks[4], (h, 4 * h)) * 0.02).astype(dtype),
+                        "bias": jnp.zeros((4 * h,), dtype)},
+                "fc2": {"kernel": (jax.random.normal(ks[5], (4 * h, h)) * 0.02).astype(dtype),
+                        "bias": jnp.zeros((h,), dtype)},
+            },
+            "token_type_embedding": (jax.random.normal(ks[4], (2, h)) * 0.02).astype(dtype),
+            "image_newline": (jax.random.normal(ks[5], (h,)) * embed_std).astype(dtype),
+        },
+        "positional_encoding": pe_init(
+            cfg.memory.max_temporal_frames, h, cfg.memory.learnable_pe,
+            key=ks[3], dtype=dtype,
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Device-side encode path
+# ---------------------------------------------------------------------------
+
+def encode_frames(params, cfg: VLMConfig, pixels: jax.Array) -> jax.Array:
+    """(F, 384, 384, 3) pixels -> (F, 196, H) pooled projected features.
+
+    Tower + projector outputs are stop_gradient'ed: the reference detaches
+    vision features even during training (llava_arch.py:302).
+    """
+    feats = siglip.forward(params["vision_tower"], cfg.vision, pixels)
+    feats = projector_mod.forward(
+        params["mm_projector"], cfg.pipeline.mm_projector_type, feats
+    )
+    feats = jax.lax.stop_gradient(feats)
+    return spatial_pool_2x2(
+        feats,
+        cfg.vision.num_patches_per_side,
+        mode=cfg.pipeline.mm_spatial_pool_mode,
+        stride=cfg.pipeline.mm_spatial_pool_stride,
+    )
+
+
+def build_video_embeds(
+    params,
+    cfg: VLMConfig,
+    feats: jax.Array,          # (Fmax, 196, H) pooled features, padded
+    frame_indices: jax.Array,  # (Fmax,) original indices for temporal PE
+    frame_valid: jax.Array,    # (Fmax,) bool
+    fine_idx: jax.Array,       # (nfine,) indices into the Fmax axis
+    nseg: int,                 # static: number of valid segments (<= cache cap)
+    *,
+    drop_fine_frames: bool = False,
+) -> jax.Array:
+    """Memory + fine-frame visual stream with prompts, newline, type embeds.
+
+    Returns (Lvis, H) with
+    Lvis = 10 + nseg*8*196 + 1 [+ 9 + nfine*196 + 1 unless drop_fine_frames].
+    """
+    mcfg = cfg.memory
+    feats = add_temporal_pe(params["positional_encoding"], feats, frame_indices)
+
+    # recurrent memory over segments
+    state = memory_mod.run_video(
+        params["memory"]["recurrent_memory_transformer"], mcfg, feats, frame_valid
+    )
+    fused, _ = memory_mod.fuse_memory_bank(params["memory"]["memory_fuser"], state)
+    # static slice: the first nseg cache entries are exactly the valid ones
+    # (cache overflow only beyond cap segments; callers clamp nseg <= cap)
+    mem_tokens = fused[: nseg * mcfg.num_memory_tokens]  # (nseg*8, 196, H)
+
+    tte = params["memory"]["token_type_embedding"]
+    mem_tokens = mem_tokens + tte[0][None, None, :]
+    h = mem_tokens.shape[-1]
+    newline = params["memory"]["image_newline"][None, :].astype(mem_tokens.dtype)
+
+    lm = params["language_model"]
+    mem_prompt = qwen2.embed_tokens(lm, jnp.asarray(constants.MEMORY_PROMPT_IDS)).astype(mem_tokens.dtype)
+
+    mem_stream = jnp.concatenate(
+        [mem_prompt, mem_tokens.reshape(-1, h), newline], axis=0
+    )
+    if drop_fine_frames:
+        return mem_stream
+
+    fine = jnp.take(feats, fine_idx, axis=0)  # (nfine, 196, H)
+    fine = fine + tte[1][None, None, :]
+    frame_prompt = qwen2.embed_tokens(lm, jnp.asarray(constants.FRAME_PROMPT_IDS)).astype(mem_tokens.dtype)
+    fine_stream = jnp.concatenate([frame_prompt, fine.reshape(-1, h), newline], axis=0)
+    return jnp.concatenate([mem_stream, fine_stream], axis=0)
+
+
+def splice_image_embeds(
+    params,
+    text_ids_before: jax.Array,
+    visual: jax.Array,
+    text_ids_after: jax.Array,
+) -> jax.Array:
+    """Replace the single <image> sentinel with visual embeddings
+    (llava_arch.py:766-815, batch of 1)."""
+    lm = params["language_model"]
+    before = qwen2.embed_tokens(lm, text_ids_before).astype(visual.dtype)
+    after = qwen2.embed_tokens(lm, text_ids_after).astype(visual.dtype)
+    return jnp.concatenate([before, visual, after], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Generation
+# ---------------------------------------------------------------------------
+
+class GenerateResult(NamedTuple):
+    tokens: jax.Array   # (max_new,) int32, padded with pad_id after EOS
+    num_tokens: jax.Array  # () int32
+
+
+def _prefill_and_decode(
+    params, cfg: VLMConfig, embeds: jax.Array, valid_len: jax.Array,
+    max_new_tokens: int, eos_ids: jax.Array, temperature: float, rng: jax.Array,
+):
+    """jit-compiled core: embeds (1, Smax, H) right-padded, returns tokens."""
+    lm = params["language_model"]
+    smax = embeds.shape[1]
+    positions = jnp.arange(smax)[None]
+    hidden, cache = qwen2.forward(
+        lm, cfg.lm, embeds, positions, valid_len=valid_len,
+        cache_max_len=smax + max_new_tokens,
+    )
+    # logits at the last *valid* position
+    last = jnp.take_along_axis(hidden, (valid_len - 1)[:, None, None], axis=1)
+    logits = qwen2.unembed(lm, cfg.lm, last)[:, 0]  # (1, V)
+
+    def sample(logits, key):
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
+
+    def cond(state):
+        step, done, *_ = state
+        return jnp.logical_and(step < max_new_tokens, jnp.logical_not(done))
+
+    def body(state):
+        step, done, logits, cache, tokens, key = state
+        key, sub = jax.random.split(key)
+        tok = sample(logits, sub)  # (1,)
+        tokens = tokens.at[step].set(tok[0])
+        done = jnp.any(tok[0] == eos_ids)
+        emb = qwen2.embed_tokens(lm, tok[:, None]).astype(embeds.dtype)
+        hidden, cache = qwen2.decode_step(lm, cfg.lm, emb, cache)
+        logits = qwen2.unembed(lm, cfg.lm, hidden)[:, 0]
+        return step + 1, done, logits, cache, tokens, key
+
+    tokens0 = jnp.zeros((max_new_tokens,), jnp.int32)
+    state = (jnp.asarray(0), jnp.asarray(False), logits, cache, tokens0, rng)
+    step, done, _, _, tokens, _ = jax.lax.while_loop(cond, body, state)
+    return tokens, step
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_generate(cfg: VLMConfig, max_new_tokens: int, temperature: float):
+    return jax.jit(
+        functools.partial(_prefill_and_decode, max_new_tokens=max_new_tokens,
+                          temperature=temperature),
+        static_argnames=("cfg",),
+    )
+
+
+def generate(
+    params,
+    cfg: VLMConfig,
+    inputs_embeds: jax.Array,      # (S, H) spliced sequence (single sample)
+    *,
+    max_new_tokens: int = 128,
+    eos_token_ids: Tuple[int, ...] = (151645,),  # <|im_end|>
+    temperature: float = 0.0,
+    pad_to_multiple: int = 128,
+    rng: Optional[jax.Array] = None,
+) -> GenerateResult:
+    """Greedy / temperature decode for a single spliced sequence."""
+    s = inputs_embeds.shape[0]
+    smax = ((s + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple
+    embeds = jnp.pad(inputs_embeds, ((0, smax - s), (0, 0)))[None]
+    valid = jnp.asarray([s], jnp.int32)
+    eos = jnp.asarray(eos_token_ids, jnp.int32)
+    rng = rng if rng is not None else jax.random.key(0)
+    fn = _jit_generate(cfg, max_new_tokens, temperature)
+    tokens, n = fn(params, cfg, embeds, valid, eos_ids=eos, rng=rng)
+    return GenerateResult(tokens=tokens, num_tokens=n)
+
+
+# ---------------------------------------------------------------------------
+# High-level video QA entry (host orchestration)
+# ---------------------------------------------------------------------------
+
+def video_qa_embeds(
+    params,
+    cfg: VLMConfig,
+    pixels: np.ndarray,          # (F0, 384, 384, 3) preprocessed frames
+    input_ids: np.ndarray,       # (S,) with exactly one IMAGE_TOKEN_INDEX
+    *,
+    training_drop_frames: bool = False,
+) -> jax.Array:
+    """Full host+device pipeline from preprocessed frames + token ids to the
+    spliced embedding sequence (ready for `generate` or the train step)."""
+    f0 = pixels.shape[0]
+    sample_idx = sample_video_frames(f0)
+    f1 = len(sample_idx)
+    fmax = pad_frames_to_segment_multiple(f1, cfg.memory.segment_frames)
+    nseg = min(fmax // cfg.memory.segment_frames, cfg.memory.cache_cap)
+
+    frames = pixels[sample_idx]
+    pad = fmax - f1
+    if pad:
+        frames = np.concatenate([frames, np.zeros((pad,) + frames.shape[1:], frames.dtype)])
+    frame_valid = np.arange(fmax) < f1
+    frame_indices = np.concatenate([sample_idx, np.zeros(pad, np.int64)])
+    fine_idx = fine_frame_indices(f1, cfg.memory.num_fine_frames)
+
+    dtype = jnp.bfloat16 if cfg.lm.dtype == "bfloat16" else jnp.float32
+    feats = encode_frames(params, cfg, jnp.asarray(frames, dtype))
+    visual = build_video_embeds(
+        params, cfg, feats, jnp.asarray(frame_indices), jnp.asarray(frame_valid),
+        jnp.asarray(fine_idx), nseg, drop_fine_frames=training_drop_frames,
+    )
+
+    image_pos = int(np.where(input_ids == constants.IMAGE_TOKEN_INDEX)[0][0])
+    before = jnp.asarray(input_ids[:image_pos], jnp.int32)
+    after = jnp.asarray(input_ids[image_pos + 1 :], jnp.int32)
+    return splice_image_embeds(params, before, visual, after)

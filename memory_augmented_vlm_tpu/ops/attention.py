@@ -105,27 +105,52 @@ def flash_attention(
     kv_valid_len: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     force_reference: bool = False,
+    differentiable: bool = False,
 ) -> jax.Array:
-    """Flash attention for LM prefill. Dispatches to the Pallas kernel on TPU.
+    """Flash attention for LM prefill. Dispatches on TPU to:
+
+      - our forward-only Pallas kernel (ops/pallas_flash.py) for inference —
+        measured ~1.5x faster than both XLA fused attention and the in-tree
+        kernel at the flagship prefill shape (1x14x9472x64);
+      - the in-tree differentiable flash kernel
+        (jax.experimental.pallas.ops.tpu.flash_attention) when gradients are
+        needed (training), with segment ids expressing the padding mask.
 
     q, k, v: (B, S, H, D) — same H (repeat GQA beforehand) and same S.
     *_valid_len: (B,) int32 — padding masks for bucketed sequence lengths.
     """
     on_tpu = jax.default_backend() == "tpu"
-    use_pallas = (
-        on_tpu
-        and not force_reference
-        and q.shape[1] >= 256
-        and q.shape[-1] in (64, 128, 256)
-        and q.shape[1] % 128 == 0
-    )
-    if use_pallas:
-        from memory_augmented_vlm_tpu.ops.pallas_flash import pallas_flash_attention
+    d_ok = q.shape[-1] in (64, 128, 256)
+    if on_tpu and not force_reference and d_ok and q.shape[1] >= 128:
+        if not differentiable:
+            from memory_augmented_vlm_tpu.ops.pallas_flash import pallas_flash_attention
 
-        return pallas_flash_attention(
-            q, k, v, causal=causal, q_valid_len=q_valid_len,
-            kv_valid_len=kv_valid_len, scale=scale,
-        )
+            return pallas_flash_attention(
+                q, k, v, causal=causal, q_valid_len=q_valid_len,
+                kv_valid_len=kv_valid_len, scale=scale,
+            )
+        if q.shape[1] % 128 == 0:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds,
+                flash_attention as jax_flash_attention,
+            )
+
+            seg = None
+            if kv_valid_len is not None:
+                ids = (
+                    jnp.arange(q.shape[1])[None, :] < kv_valid_len[:, None]
+                ).astype(jnp.int32)
+                seg = SegmentIds(q=ids, kv=ids)
+            d = q.shape[-1]
+            out = jax_flash_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                segment_ids=seg,
+                causal=causal,
+                sm_scale=scale if scale is not None else d**-0.5,
+            )
+            return out.transpose(0, 2, 1, 3)
     mask = None
     if kv_valid_len is not None:
         mask = jnp.arange(k.shape[1])[None, None, None, :] < kv_valid_len[:, None, None, None]

@@ -1,0 +1,187 @@
+"""Pallas flash-attention (forward) for TPU — the flash-attn-2 replacement on
+the inference prefill path (SURVEY.md §2.9).
+
+Online-softmax tiling over the KV sequence with causal block skipping and
+per-batch valid-length masking (right-padded bucketed sequences). Statistics
+(m, l, acc) accumulate in fp32 VMEM scratch; QK^T and PV run on the MXU with
+fp32 accumulation. Layout: (B, H, S, D) blocks of (block_q x block_k).
+
+The training path uses the differentiable in-tree kernel
+(jax.experimental.pallas.ops.tpu.flash_attention) via `ops.attention`; this
+kernel is forward-only and tuned for single-batch long-prefill latency.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+NUM_LANES = 128
+
+
+def _flash_fwd_kernel(
+    valid_len_ref,  # scalar prefetch: (B,) int32
+    q_ref,          # (1, 1, BQ, D)
+    k_ref,          # (1, 1, BK, D)
+    v_ref,          # (1, 1, BK, D)
+    o_ref,          # (1, 1, BQ, D)
+    m_scratch,      # (BQ, NUM_LANES) fp32
+    l_scratch,      # (BQ, NUM_LANES) fp32
+    acc_scratch,    # (BQ, D) fp32
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    num_kv_blocks: int,
+):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ikv = pl.program_id(3)
+
+    @pl.when(ikv == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    valid_len = valid_len_ref[b]
+
+    if causal:
+        # skip KV blocks entirely above the diagonal
+        should_run = ((iq + 1) * block_q - 1) >= (ikv * block_k)
+    else:
+        should_run = True
+    # skip KV blocks entirely beyond the valid length
+    should_run = jnp.logical_and(should_run, ikv * block_k < valid_len)
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]  # (BQ, D)
+        k = k_ref[0, 0]  # (BK, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, BK)
+        if sm_scale != 1.0:
+            s *= sm_scale
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_k
+        mask = col_ids < valid_len
+        if causal:
+            mask = jnp.logical_and(mask, col_ids <= row_ids)
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_scratch[...]  # (BQ, LANES) — lane-replicated row stats
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1)[:, None]  # (BQ, 1)
+        m_next = jnp.maximum(m_prev, m_curr)  # broadcast -> (BQ, LANES)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])        # (BQ, BK)
+        l_curr = jnp.sum(p, axis=1)[:, None]  # (BQ, 1)
+        l_next = alpha * l_prev + l_curr
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+
+        v = v_ref[0, 0]  # (BK, D)
+        o_curr = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )  # (BQ, D)
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + o_curr
+
+    if causal:
+        last_needed = jnp.minimum(
+            num_kv_blocks - 1, ((iq + 1) * block_q - 1) // block_k
+        )
+    else:
+        last_needed = num_kv_blocks - 1
+    # the valid-length bound can end earlier than the causal bound
+    last_valid = jnp.maximum((valid_len + block_k - 1) // block_k - 1, 0)
+    last_needed = jnp.minimum(last_needed, last_valid)
+
+    @pl.when(ikv == last_needed)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "scale", "block_q", "block_k", "interpret")
+)
+def pallas_flash_attention(
+    q: jax.Array,  # (B, S, H, D)
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    q_valid_len: Optional[jax.Array] = None,
+    kv_valid_len: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Forward flash attention. S must be a multiple of the block sizes'
+    gcd-padding; the wrapper pads S up to a block multiple internally."""
+    b, s, h, d = q.shape
+    scale = scale if scale is not None else d**-0.5
+    if kv_valid_len is None:
+        kv_valid_len = jnp.full((b,), s, jnp.int32)
+    kv_valid_len = kv_valid_len.astype(jnp.int32)
+
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    spad = ((s + max(block_q, block_k) - 1) // max(block_q, block_k)) * max(block_q, block_k)
+    if spad != s:
+        pad = ((0, 0), (0, spad - s), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    # (B, H, S, D) layout for blocking
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    sp = qt.shape[2]
+    nq, nkv = sp // block_q, sp // block_k
+
+    kernel = functools.partial(
+        _flash_fwd_kernel,
+        causal=causal,
+        sm_scale=scale,
+        block_q=block_q,
+        block_k=block_k,
+        num_kv_blocks=nkv,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h, nq, nkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ikv, vl: (b, h, ikv, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ikv, vl: (b, h, ikv, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_valid_len, qt, kt, vt)
+    out = out.transpose(0, 2, 1, 3)
+    if spad != s:
+        out = out[:, :s]
+    return out

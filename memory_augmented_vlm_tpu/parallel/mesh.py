@@ -1,0 +1,46 @@
+"""Device mesh construction — the TPU replacement for the reference's
+torchrun + NCCL + DeepSpeed ZeRO stack (SURVEY.md §2.8).
+
+One 3-axis mesh covers every parallelism mode the framework uses:
+  - `data` : pure data parallel (maps to DCN across hosts at scale)
+  - `fsdp` : parameter/optimizer sharding (ZeRO-3 equivalent, rides ICI)
+  - `tp`   : tensor parallel for 7B+ (attention heads / MLP columns)
+
+The reference is DP-only with ZeRO-2 (scripts/zero2.json); `data x fsdp`
+subsumes that, and `tp` adds what the reference lacks for 72B-class configs.
+No NCCL env tuning: XLA inserts and schedules all collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from memory_augmented_vlm_tpu.config import MeshConfig
+
+AXES = ("data", "fsdp", "tp")
+
+
+def build_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    n = cfg.num_devices
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(cfg.data, cfg.fsdp, cfg.tp)
+    return Mesh(arr, AXES)
+
+
+def single_device_mesh() -> Mesh:
+    return build_mesh(MeshConfig(1, 1, 1))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch dim sharded over data+fsdp together (ZeRO-style DP)."""
+    return NamedSharding(mesh, P(("data", "fsdp")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

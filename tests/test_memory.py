@@ -1,0 +1,270 @@
+"""Recurrent-memory module parity tests.
+
+Oracle: an independent torch implementation of the reference semantics
+(MemoryController.py — post-LN residual attention, per-segment memory
+evolution over a list cache, relu-MLP fusion layers) with the reference's
+state-dict key names, converted via checkpoint/hf_import. The JAX scan-based
+module must match it on unpadded and padded inputs, including the cache
+sliding window.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn as nn
+
+from memory_augmented_vlm_tpu.config import MemoryConfig
+from memory_augmented_vlm_tpu.checkpoint.hf_import import (
+    convert_memory_modules,
+    torch_state_dict_to_numpy,
+)
+from memory_augmented_vlm_tpu.models import memory as jmem
+from memory_augmented_vlm_tpu.models.position_encoding import (
+    add_temporal_pe,
+    init_params as pe_init,
+    sinusoidal_table,
+)
+from memory_augmented_vlm_tpu.models.segment import (
+    uniform_segment,
+    uniform_segment_variant,
+)
+
+CFG = MemoryConfig(
+    hidden_size=32,
+    num_attention_heads=4,
+    patch_size=4,
+    num_memory_tokens=2,
+    depth=2,
+    cache_cap=3,
+    segment_frames=4,
+)
+
+
+class OracleAttention(nn.Module):
+    """Post-LN residual attention per the documented reference semantics."""
+
+    def __init__(self, h, nh, eps):
+        super().__init__()
+        self.nh, self.hd = nh, h // nh
+        self.q_proj = nn.Linear(h, h)
+        self.k_proj = nn.Linear(h, h)
+        self.v_proj = nn.Linear(h, h)
+        self.residual = nn.ModuleDict(
+            {"dense": nn.Linear(h, h), "layernorm": nn.LayerNorm(h, eps=eps)}
+        )
+
+    def forward(self, q_states, kv_states):
+        b, lq, h = q_states.shape
+        lk = kv_states.shape[1]
+
+        def split(x, L):
+            return x.view(b, L, self.nh, self.hd).permute(0, 2, 1, 3)
+
+        q = split(self.q_proj(q_states), lq)
+        k = split(self.k_proj(kv_states), lk)
+        v = split(self.v_proj(kv_states), lk)
+        probs = torch.softmax(q @ k.transpose(-1, -2) / self.hd**0.5, dim=-1)
+        ctx = (probs @ v).permute(0, 2, 1, 3).reshape(b, lq, h)
+        return self.residual["layernorm"](self.residual["dense"](ctx) + q_states)
+
+
+class OracleLayer(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        h = cfg.hidden_size
+        self.memory_segment_fusion_attention = OracleAttention(
+            h, cfg.num_attention_heads, cfg.layer_norm_eps
+        )
+        self.mlp = nn.Sequential(nn.Linear(h, cfg.intermediate_size), nn.ReLU())
+        self.residual = nn.ModuleDict(
+            {
+                "dense": nn.Linear(cfg.intermediate_size, h),
+                "layernorm": nn.LayerNorm(h, eps=cfg.layer_norm_eps),
+            }
+        )
+
+    def forward(self, mem2d, seg2d):
+        a = self.memory_segment_fusion_attention(mem2d, seg2d)
+        return self.residual["layernorm"](self.residual["dense"](self.mlp(a)) + a)
+
+
+class OracleMemory(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        h = cfg.hidden_size
+        self.cfg = cfg
+        self.layers = nn.ModuleList([OracleLayer(cfg) for _ in range(cfg.depth)])
+        self.initial_memory = nn.Parameter(
+            torch.randn(cfg.num_memory_tokens, cfg.patch_size, h)
+        )
+        self.memory_pos_embed = nn.Parameter(torch.randn(cfg.num_memory_tokens, 1, h))
+        self.memory_update_attention = OracleAttention(
+            h, cfg.num_attention_heads, cfg.layer_norm_eps
+        )
+        self.memory_cache = []
+
+    def step(self, segment):
+        cfg = self.cfg
+        nm, pp, h = cfg.num_memory_tokens, cfg.patch_size, cfg.hidden_size
+        if self.memory_cache:
+            mem = self.memory_cache[-1]
+            past = torch.cat(self.memory_cache, dim=0).reshape(1, -1, h)
+            mem = self.memory_update_attention(mem.reshape(1, nm * pp, h), past)
+            mem = mem.reshape(nm, pp, h)
+        else:
+            mem = self.initial_memory + self.memory_pos_embed
+        mem2d = mem.reshape(1, nm * pp, h)
+        seg2d = segment.reshape(1, -1, h)
+        for layer in self.layers:
+            mem2d = layer(mem2d, seg2d)
+        self.memory_cache.append(mem2d.reshape(nm, pp, h))
+        if len(self.memory_cache) > cfg.cache_cap:
+            self.memory_cache = self.memory_cache[-cfg.cache_cap:]
+        return self.memory_cache
+
+
+def _wrap_state_dict(oracle):
+    """Re-key oracle weights to the reference checkpoint names."""
+    sd = {}
+    for k, v in oracle.state_dict().items():
+        sd["recurrent_memory_transformer." + k] = v
+    return sd
+
+
+@pytest.fixture(scope="module")
+def models():
+    torch.manual_seed(0)
+    oracle = OracleMemory(CFG).float().eval()
+    sd = _wrap_state_dict(oracle)
+    # fuser weights for fuse test
+    fuser = nn.Sequential(
+        nn.Linear(CFG.hidden_size, CFG.hidden_size * 4),
+        nn.GELU(),
+        nn.Linear(CFG.hidden_size * 4, CFG.hidden_size),
+    ).float().eval()
+    for k, v in fuser.state_dict().items():
+        sd["memory_fuser." + k] = v
+    sd["token_type_embedding.weight"] = torch.randn(2, CFG.hidden_size)
+    params = jax.tree.map(
+        jnp.asarray, convert_memory_modules(torch_state_dict_to_numpy(sd), CFG.depth)
+    )
+    return oracle, fuser, params
+
+
+def _run_oracle(oracle, frames):
+    oracle.memory_cache = []
+    nseg = frames.shape[0] // CFG.segment_frames
+    with torch.no_grad():
+        for s in range(nseg):
+            cache = oracle.step(
+                torch.from_numpy(frames[s * CFG.segment_frames : (s + 1) * CFG.segment_frames])
+            )
+    return np.stack([c.numpy() for c in cache])
+
+
+def test_run_video_matches_oracle(models):
+    oracle, _, params = models
+    rng = np.random.default_rng(0)
+    frames = rng.standard_normal((8, CFG.patch_size, CFG.hidden_size)).astype(np.float32)
+    ref_cache = _run_oracle(oracle, frames)  # 2 segments
+
+    mp = params["recurrent_memory_transformer"]
+    state = jmem.run_video(mp, CFG, jnp.asarray(frames), jnp.ones((8,), bool))
+    assert int(state.cache_len) == 2
+    np.testing.assert_allclose(
+        np.asarray(state.cache[:2]), ref_cache, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_run_video_padded_matches_unpadded(models):
+    _, _, params = models
+    mp = params["recurrent_memory_transformer"]
+    rng = np.random.default_rng(1)
+    frames = rng.standard_normal((8, CFG.patch_size, CFG.hidden_size)).astype(np.float32)
+    state = jmem.run_video(mp, CFG, jnp.asarray(frames), jnp.ones((8,), bool))
+    # pad with garbage frames + invalid mask to 16
+    garbage = rng.standard_normal((8, CFG.patch_size, CFG.hidden_size)).astype(np.float32)
+    padded = np.concatenate([frames, garbage])
+    valid = np.array([True] * 8 + [False] * 8)
+    state_p = jmem.run_video(mp, CFG, jnp.asarray(padded), jnp.asarray(valid))
+    assert int(state_p.cache_len) == int(state.cache_len) == 2
+    np.testing.assert_allclose(
+        np.asarray(state_p.cache[:2]), np.asarray(state.cache[:2]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_short_segment_masking_matches_oracle(models):
+    """F < segment_frames: one partial segment, padded frames masked."""
+    oracle, _, params = models
+    mp = params["recurrent_memory_transformer"]
+    rng = np.random.default_rng(2)
+    frames = rng.standard_normal((3, CFG.patch_size, CFG.hidden_size)).astype(np.float32)
+    oracle.memory_cache = []
+    with torch.no_grad():
+        ref = oracle.step(torch.from_numpy(frames))[-1].numpy()
+    padded = np.concatenate([frames, np.zeros((1, CFG.patch_size, CFG.hidden_size), np.float32)])
+    valid = np.array([True, True, True, False])
+    state = jmem.run_video(mp, CFG, jnp.asarray(padded), jnp.asarray(valid))
+    assert int(state.cache_len) == 1
+    np.testing.assert_allclose(np.asarray(state.cache[0]), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_cache_sliding_window_matches_oracle(models):
+    """More segments than cache_cap -> keep the last `cap` memories."""
+    oracle, _, params = models
+    mp = params["recurrent_memory_transformer"]
+    rng = np.random.default_rng(3)
+    nseg = CFG.cache_cap + 2
+    frames = rng.standard_normal(
+        (nseg * CFG.segment_frames, CFG.patch_size, CFG.hidden_size)
+    ).astype(np.float32)
+    ref_cache = _run_oracle(oracle, frames)
+    assert ref_cache.shape[0] == CFG.cache_cap
+    state = jmem.run_video(mp, CFG, jnp.asarray(frames), jnp.ones((frames.shape[0],), bool))
+    assert int(state.cache_len) == CFG.cache_cap
+    np.testing.assert_allclose(np.asarray(state.cache), ref_cache, rtol=1e-4, atol=1e-4)
+
+
+def test_memory_fuser_matches_torch(models):
+    _, fuser, params = models
+    rng = np.random.default_rng(4)
+    mp = params["recurrent_memory_transformer"]
+    frames = rng.standard_normal((8, CFG.patch_size, CFG.hidden_size)).astype(np.float32)
+    state = jmem.run_video(mp, CFG, jnp.asarray(frames), jnp.ones((8,), bool))
+    fused, valid = jmem.fuse_memory_bank(params["memory_fuser"], state)
+    assert fused.shape == (CFG.cache_cap * CFG.num_memory_tokens, CFG.patch_size, CFG.hidden_size)
+    nvalid = int(valid.sum())
+    assert nvalid == 2 * CFG.num_memory_tokens
+    with torch.no_grad():
+        ref = fuser(torch.from_numpy(np.asarray(state.cache[:2])).reshape(
+            2 * CFG.num_memory_tokens, CFG.patch_size, CFG.hidden_size)).numpy()
+    np.testing.assert_allclose(np.asarray(fused)[valid.tolist()], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_temporal_pe_matches_reference_formula():
+    table = sinusoidal_table(20, 16)
+    import math
+
+    pe = torch.zeros(20, 16)
+    position = torch.arange(0, 20).unsqueeze(1).float()
+    div_term = torch.exp(torch.arange(0, 16, 2).float() * -(math.log(10000.0) / 16))
+    pe[:, 0::2] = torch.sin(position * div_term)
+    pe[:, 1::2] = torch.cos(position * div_term)
+    np.testing.assert_allclose(table, pe.numpy(), rtol=1e-6, atol=1e-6)
+
+    params = pe_init(20, 16)
+    x = np.random.default_rng(0).standard_normal((5, 3, 16)).astype(np.float32)
+    idx = np.array([0, 4, 9, 13, 19])
+    out = np.asarray(add_temporal_pe(params, jnp.asarray(x), jnp.asarray(idx)))
+    np.testing.assert_allclose(out, x + table[idx][:, None, :], rtol=1e-6, atol=1e-6)
+
+
+def test_segmenters_match_reference_boundaries():
+    # uniform_segment_variant: leftover at the END (segment.py:169-192)
+    assert uniform_segment_variant(96, 32) == [0, 32, 64, 96]
+    assert uniform_segment_variant(70, 32) == [0, 32, 64, 70]
+    assert uniform_segment_variant(20, 32) == [0, 20]
+    # uniform_segment: leftover FIRST
+    assert uniform_segment(70, 32) == [0, 6, 38, 70]

@@ -1,0 +1,47 @@
+"""Pallas flash-attention kernel vs the XLA reference (interpret mode on CPU,
+true-fp32 matmuls -> tight tolerance)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from memory_augmented_vlm_tpu.ops.attention import mha_attention
+from memory_augmented_vlm_tpu.ops.pallas_flash import pallas_flash_attention
+
+RNG = np.random.default_rng(0)
+
+
+@pytest.mark.parametrize("s,vl,causal", [
+    (256, (256, 256), True),
+    (256, (100, 256), True),
+    (512, (300, 511), True),
+    (256, (256, 200), False),
+])
+def test_kernel_matches_reference(s, vl, causal):
+    b, h, d = 2, 3, 64
+    q = jnp.asarray(RNG.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((b, s, h, d)), jnp.float32)
+    valid = jnp.asarray(vl, jnp.int32)
+    out = pallas_flash_attention(
+        q, k, v, causal=causal, kv_valid_len=valid,
+        block_q=128, block_k=128, interpret=True,
+    )
+    mask = jnp.arange(s)[None, None, None, :] < valid[:, None, None, None]
+    ref = mha_attention(q, k, v, mask=mask, causal=causal)
+    for i in range(b):
+        n = int(valid[i])
+        np.testing.assert_allclose(
+            np.asarray(out[i, :n]), np.asarray(ref[i, :n]), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_kernel_pads_non_multiple_sequence():
+    b, s, h, d = 1, 300, 2, 64
+    q = jnp.asarray(RNG.standard_normal((b, s, h, d)), jnp.float32)
+    out = pallas_flash_attention(
+        q, q, q, causal=True, block_q=128, block_k=128, interpret=True
+    )
+    ref = mha_attention(q, q, q, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)

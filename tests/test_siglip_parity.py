@@ -1,0 +1,93 @@
+"""SigLIP tower + projector parity vs HF transformers at fp32.
+
+The reference tower output equals the full model's hidden_states[-2]
+(pre-post_layernorm output of the second-to-last layer) — pinned here on a
+tiny random SigLIP (same architecture family, smaller dims).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from memory_augmented_vlm_tpu.config import VisionConfig
+from memory_augmented_vlm_tpu.checkpoint.hf_import import (
+    convert_projector,
+    convert_siglip,
+    torch_state_dict_to_numpy,
+)
+from memory_augmented_vlm_tpu.models import projector, siglip
+
+
+@pytest.fixture(scope="module")
+def tiny_siglip():
+    from transformers import SiglipVisionConfig, SiglipVisionModel
+
+    torch.manual_seed(0)
+    hf_cfg = SiglipVisionConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        image_size=56,
+        patch_size=14,
+        attn_implementation="eager",
+    )
+    hf_model = SiglipVisionModel(hf_cfg).eval().float()
+    cfg = VisionConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        image_size=56,
+        patch_size=14,
+    )
+    sd = torch_state_dict_to_numpy(hf_model.state_dict())
+    params = jax.tree.map(jnp.asarray, convert_siglip(sd, cfg))
+    return hf_model, cfg, params
+
+
+def test_tower_matches_hf_hidden_states_minus_2(tiny_siglip):
+    hf_model, cfg, params = tiny_siglip
+    rng = np.random.default_rng(0)
+    pixels = rng.standard_normal((2, 56, 56, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = hf_model(
+            torch.from_numpy(pixels).permute(0, 3, 1, 2), output_hidden_states=True
+        )
+    ref = out.hidden_states[-2].numpy()  # == trimmed tower's last hidden state
+    got = np.asarray(siglip.forward(params, cfg, jnp.asarray(pixels)))
+    assert got.shape == (2, cfg.num_patches, cfg.hidden_size)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_projector_mlp2x_gelu_matches_torch():
+    torch.manual_seed(1)
+    lin1 = torch.nn.Linear(16, 24)
+    lin2 = torch.nn.Linear(24, 24)
+    seq = torch.nn.Sequential(lin1, torch.nn.GELU(), lin2).eval()
+    sd = torch_state_dict_to_numpy(seq.state_dict())
+    params = jax.tree.map(jnp.asarray, convert_projector(sd, "mlp2x_gelu"))
+    x = np.random.default_rng(2).standard_normal((3, 5, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = seq(torch.from_numpy(x)).numpy()
+    got = np.asarray(projector.forward(params, "mlp2x_gelu", jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_image_processor_matches_reference_semantics():
+    """preprocess: RGB -> bicubic 384^2 -> /255 -> (x-0.5)/0.5, channel-last."""
+    from PIL import Image
+
+    from memory_augmented_vlm_tpu.data.preprocessing import SigLipImageProcessor
+
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, size=(100, 160, 3), dtype=np.uint8)
+    img = Image.fromarray(raw)
+    got = SigLipImageProcessor().preprocess(img)
+    assert got.shape == (1, 384, 384, 3)
+    ref = np.asarray(img.resize((384, 384), Image.BICUBIC), dtype=np.float32)
+    ref = (ref / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(got[0], ref, rtol=1e-6, atol=1e-6)
+    assert got.min() >= -1.0 - 1e-6 and got.max() <= 1.0 + 1e-6
