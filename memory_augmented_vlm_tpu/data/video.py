@@ -1,0 +1,136 @@
+"""Host-side video frame loading.
+
+The reference decodes with decord/PyAV (llava/utils.py:26-113); this
+environment ships neither, so the loader supports the sources the training
+recipe actually uses plus optional codec backends when present:
+
+  1. pre-extracted tensor files (`.pt`/`.npy`/`.npz`) — the active recipe's
+     `--video_folder ..._tensors` path (train.py:1183-1231,
+     extract_video_frames/video_reader_tmp.py);
+  2. directories of frame images (train.py's folder-of-frames branch);
+  3. decord / PyAV when importable (same preference order as the reference).
+
+Frame-sampling arithmetic reproduces `process_video_with_decord`
+(llava/utils.py:26-52): >=32 s videos sample n*32 frames with
+n = (t-1)//32, else 1 fps.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def sample_frame_indices(
+    total_frames: int,
+    avg_fps: float,
+    video_fps: int = 1,
+) -> Tuple[List[int], List[float], int]:
+    """Reference sampling rule (llava/utils.py:32-46).
+
+    Returns (frame_idx, frame_times_s, num_frames_to_sample).
+    """
+    video_time = total_frames / avg_fps
+    if video_time >= 32:
+        n = int((video_time - 1) // 32)
+        num = min(n * 32, total_frames)
+        idx = np.linspace(0, total_frames - 1, num, dtype=int).tolist()
+    else:
+        step = max(1, round(avg_fps / video_fps))
+        idx = list(range(0, total_frames, step))
+        num = len(idx)
+    times = [i / avg_fps for i in idx]
+    return idx, times, num
+
+
+def load_frames_from_dir(path: str) -> np.ndarray:
+    """Directory of frame images (sorted) -> (F, H, W, 3) uint8."""
+    from PIL import Image
+
+    names = sorted(
+        f for f in os.listdir(path)
+        if f.lower().endswith((".jpg", ".jpeg", ".png", ".webp"))
+    )
+    frames = [np.asarray(Image.open(os.path.join(path, f)).convert("RGB")) for f in names]
+    return np.stack(frames)
+
+
+def load_frames_from_tensor(path: str) -> np.ndarray:
+    """Pre-extracted frame tensors (.pt torch / .npy / .npz)."""
+    if path.endswith(".pt"):
+        import torch
+
+        t = torch.load(path, map_location="cpu")
+        arr = t.numpy() if hasattr(t, "numpy") else np.asarray(t)
+    elif path.endswith(".npz"):
+        arr = np.load(path)["frames"]
+    else:
+        arr = np.load(path)
+    # accept (F, C, H, W) torch layout
+    if arr.ndim == 4 and arr.shape[1] in (1, 3) and arr.shape[-1] not in (1, 3):
+        arr = arr.transpose(0, 2, 3, 1)
+    return arr
+
+
+def load_video(
+    video_path: str,
+    video_fps: int = 1,
+    frames_upbound: int = 0,
+    force_sample: bool = False,
+) -> Tuple[np.ndarray, float, str, int]:
+    """Load + sample a video from any supported source.
+
+    Returns (frames (F, H, W, 3), video_time_s, frame_times_str, num_sampled)
+    — the `process_video_with_decord` contract (llava/utils.py:26-52).
+    """
+    if os.path.isdir(video_path):
+        frames = load_frames_from_dir(video_path)
+        avg_fps = float(video_fps)  # frame dirs are assumed pre-sampled at 1fps
+    elif video_path.endswith((".pt", ".npy", ".npz")):
+        frames = load_frames_from_tensor(video_path)
+        avg_fps = float(video_fps)
+    else:
+        frames, avg_fps = _decode_with_codec(video_path)
+
+    total = frames.shape[0]
+    idx, times, num = sample_frame_indices(total, avg_fps, video_fps)
+    if frames_upbound > 0 and (len(idx) > frames_upbound or force_sample):
+        idx = np.linspace(0, total - 1, frames_upbound, dtype=int).tolist()
+        times = [i / avg_fps for i in idx]
+        num = len(idx)
+    sampled = frames[np.asarray(idx)]
+    time_str = ",".join(f"{t:.2f}s" for t in times)
+    return sampled, total / avg_fps, time_str, num
+
+
+def _decode_with_codec(video_path: str) -> Tuple[np.ndarray, float]:
+    try:
+        from decord import VideoReader, cpu  # type: ignore
+
+        vr = VideoReader(video_path, ctx=cpu(0), num_threads=1)
+        fps = vr.get_avg_fps()
+        frames = vr.get_batch(range(len(vr))).asnumpy()
+        return frames, fps
+    except ImportError:
+        pass
+    try:
+        import av  # type: ignore
+
+        container = av.open(video_path)
+        container.streams.video[0].thread_type = "AUTO"
+        frames = []
+        for packet in container.demux():
+            if packet.stream.type == "video":
+                for frame in packet.decode():
+                    frames.append(frame.to_ndarray(format="rgb24"))
+        stream = container.streams.video[0]
+        fps = float(stream.average_rate) if stream.average_rate else 30.0
+        return np.stack(frames), fps
+    except ImportError as e:
+        raise RuntimeError(
+            f"no codec backend for {video_path}: install decord or pyav, or "
+            "pre-extract frames to .npy/.pt (extract tooling in tools/)"
+        ) from e

@@ -1,0 +1,228 @@
+"""Training entry point — the `torchrun llava/train/train_mem.py` equivalent.
+
+Argument surface mirrors the reference's Model/Data/TrainingArguments
+dataclasses (train.py:70-192) for the knobs the TPU stack honors; launch is
+`python -m memory_augmented_vlm_tpu.train.cli --data_path ... --output_dir
+...` (single-host; multi-host via `jax.distributed.initialize`, no torchrun /
+NCCL env tuning needed).
+
+Loop structure:
+  host: dataset -> bucket queues -> collate (data/collator.py)
+  device: one jitted train step per bucket (train/trainer.py), params sharded
+  per parallel/sharding.py; orbax checkpoints with auto-resume; metrics JSONL
+  + optional wandb; step-time breakdown (utils/logging.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+from collections import defaultdict
+from typing import Dict, List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from memory_augmented_vlm_tpu.config import MeshConfig, VLMConfig
+from memory_augmented_vlm_tpu.data import collator as collator_mod
+from memory_augmented_vlm_tpu.data.dataset import LazySupervisedDataset
+from memory_augmented_vlm_tpu.checkpoint import orbax_io
+from memory_augmented_vlm_tpu.parallel.mesh import build_mesh
+from memory_augmented_vlm_tpu.parallel.sharding import shard_params
+from memory_augmented_vlm_tpu.train import trainer as trainer_mod
+from memory_augmented_vlm_tpu.train.optimizer import OptimizerConfig
+from memory_augmented_vlm_tpu.utils.logging import (
+    MetricsLogger,
+    StepTimer,
+    build_logger,
+    rank0_print,
+)
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser("mavlm_tpu trainer")
+    # model
+    p.add_argument("--model_name_or_path", type=str, default=None,
+                   help="HF-format checkpoint dir (load_pretrained_model)")
+    p.add_argument("--version", type=str, default="qwen_1_5")
+    p.add_argument("--mm_tunable_parts", type=str,
+                   default="larimar_model,recurrent_model,mm_language_model")
+    p.add_argument("--mm_projector_type", type=str, default="mlp2x_gelu")
+    p.add_argument("--mm_spatial_pool_mode", type=str, default="bilinear")
+    p.add_argument("--dropout_frames", action="store_true")
+    # data
+    p.add_argument("--data_path", type=str, required=True)
+    p.add_argument("--image_folder", type=str, default=None)
+    p.add_argument("--video_folder", type=str, default=None)
+    p.add_argument("--add_time_instruction", action="store_true")
+    p.add_argument("--frames_upbound", type=int, default=300)
+    # optimization (finetune_short.sh defaults)
+    p.add_argument("--learning_rate", type=float, default=1e-6)
+    p.add_argument("--mm_vision_tower_lr", type=float, default=2e-6)
+    p.add_argument("--memory_transformer_lr", type=float, default=1e-5)
+    p.add_argument("--memory_key_value_lr", type=float, default=1e-5)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--warmup_ratio", type=float, default=0.03)
+    p.add_argument("--lr_scheduler_type", type=str, default="cosine")
+    p.add_argument("--num_train_epochs", type=float, default=1.0)
+    p.add_argument("--max_steps", type=int, default=-1)
+    p.add_argument("--per_device_train_batch_size", type=int, default=1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=4)
+    p.add_argument("--model_max_length", type=int, default=32768)
+    # infra
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--save_steps", type=int, default=100)
+    p.add_argument("--save_total_limit", type=int, default=2)
+    p.add_argument("--logging_steps", type=int, default=1)
+    p.add_argument("--report_to", type=str, default="none")
+    p.add_argument("--run_name", type=str, default="mavlm")
+    p.add_argument("--mesh_data", type=int, default=1)
+    p.add_argument("--mesh_fsdp", type=int, default=0,
+                   help="0 = all remaining devices")
+    p.add_argument("--mesh_tp", type=int, default=1)
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def build_model(args) -> tuple:
+    """Load or init (tokenizer, params, cfg)."""
+    if args.model_name_or_path:
+        from memory_augmented_vlm_tpu.eval.builder import load_pretrained_model
+
+        tokenizer, model, _, _ = load_pretrained_model(
+            args.model_name_or_path, None, "llava_qwen")
+        return tokenizer, model.params, model.cfg
+    from memory_augmented_vlm_tpu.data.tokenizer import load_qwen_tokenizer
+    from memory_augmented_vlm_tpu.models import vlm as vlm_mod
+
+    cfg = VLMConfig.onevision_0_5b()
+    params = vlm_mod.init_params(cfg, jax.random.key(args.seed), dtype=jnp.bfloat16)
+    return load_qwen_tokenizer(), params, cfg
+
+
+def train(args) -> Dict[str, float]:
+    logger = build_logger("train", os.path.join(args.output_dir, "train.log"))
+    tokenizer, params, cfg = build_model(args)
+    if args.dropout_frames:
+        cfg = dataclasses.replace(
+            cfg, pipeline=dataclasses.replace(cfg.pipeline, dropout_frames=True))
+
+    n_dev = len(jax.devices())
+    fsdp = args.mesh_fsdp or max(1, n_dev // (args.mesh_data * args.mesh_tp))
+    mesh = build_mesh(MeshConfig(args.mesh_data, fsdp, args.mesh_tp))
+    params = shard_params(params, mesh)
+    rank0_print(f"mesh: data={args.mesh_data} fsdp={fsdp} tp={args.mesh_tp}")
+
+    from memory_augmented_vlm_tpu.data.preprocessing import SigLipImageProcessor
+
+    dataset = LazySupervisedDataset(
+        args.data_path, tokenizer,
+        image_folder=args.image_folder, video_folder=args.video_folder,
+        image_processor=SigLipImageProcessor(
+            size=(cfg.vision.image_size, cfg.vision.image_size)),
+        pipeline=cfg.pipeline,
+    )
+    steps_per_epoch = max(1, len(dataset) // max(1, args.per_device_train_batch_size))
+    total_steps = (args.max_steps if args.max_steps > 0
+                   else int(steps_per_epoch * args.num_train_epochs))
+    opt_cfg = OptimizerConfig(
+        learning_rate=args.learning_rate,
+        mm_vision_tower_lr=args.mm_vision_tower_lr,
+        memory_transformer_lr=args.memory_transformer_lr,
+        memory_key_value_lr=args.memory_key_value_lr,
+        weight_decay=args.weight_decay,
+        warmup_ratio=args.warmup_ratio,
+        schedule=args.lr_scheduler_type,
+        total_steps=total_steps,
+        mm_tunable_parts=args.mm_tunable_parts,
+    )
+    state = trainer_mod.init_train_state(params, opt_cfg)
+
+    resume = orbax_io.latest_checkpoint(args.output_dir)
+    if resume:
+        rank0_print(f"auto-resuming from {resume}")
+        state = orbax_io.restore_checkpoint(resume, state)
+
+    step_fns: Dict = {}
+    metrics_log = MetricsLogger(args.output_dir, use_wandb=args.report_to == "wandb",
+                                run_name=args.run_name)
+    timer = StepTimer()
+    rng = np.random.default_rng(args.seed)
+
+    # bucketed batching: greedy queueing by bucket key
+    queues: Dict[tuple, List] = defaultdict(list)
+    order = rng.permutation(len(dataset))
+    bsz = args.per_device_train_batch_size * mesh.devices.size // args.mesh_tp
+    step = int(state.step)
+    last = {}
+    i = 0
+    # with --max_steps the data cycles until the step budget is spent;
+    # otherwise one pass bounded by num_train_epochs
+    data_budget = (np.inf if args.max_steps > 0
+                   else len(order) * int(np.ceil(args.num_train_epochs)))
+    while step < total_steps and i < data_budget:
+        with timer.section("data"):
+            sample = dataset[int(order[i % len(order)])]
+            i += 1
+            if "pixels" not in sample:
+                continue  # text-only batches handled by a separate bucket later
+            key = collator_mod.bucket_key(sample, cfg.memory)
+            queues[key].append(sample)
+            if len(queues[key]) < bsz:
+                continue
+            samples = queues.pop(key)
+            np_batch = collator_mod.collate_video_batch(samples, cfg.memory)
+            batch = trainer_mod.TrainBatch(**{
+                k: jnp.asarray(v) for k, v in np_batch.items()})
+            nseg = min(np_batch["pixels"].shape[1] // cfg.memory.segment_frames,
+                       cfg.memory.cache_cap)
+            drop = (cfg.pipeline.dropout_frames
+                    and trainer_mod.synced_frame_dropout(step))
+        fn_key = (key, nseg, drop)
+        if fn_key not in step_fns:
+            step_fns[fn_key] = jax.jit(
+                trainer_mod.make_train_step(cfg, opt_cfg, nseg=nseg, drop_frames=drop),
+                donate_argnums=(0,),
+            )
+        with timer.section("step"):
+            state, metrics = step_fns[fn_key](state, batch)
+            jax.block_until_ready(metrics["loss"])
+        step = int(state.step)
+        last = {k: float(v) for k, v in metrics.items()}
+        if step % args.logging_steps == 0:
+            metrics_log.log(step, dict(last, **timer.summary()))
+            rank0_print(f"step {step}/{total_steps} loss={last.get('loss', 0):.4f} "
+                        f"gnorm={last.get('grad_norm', 0):.3f} {timer.summary()}")
+        if args.save_steps and step % args.save_steps == 0:
+            with timer.section("checkpoint"):
+                orbax_io.save_checkpoint(args.output_dir, state, step,
+                                         keep=args.save_total_limit)
+                last_saved = step
+
+    if step == 0 and any(queues.values()):
+        rank0_print(
+            f"WARNING: dataset too small to fill a batch of {bsz}; "
+            f"{sum(len(q) for q in queues.values())} samples queued but never "
+            "trained — reduce batch size or add data")
+    final_path = os.path.join(args.output_dir, f"checkpoint-{step}")
+    if step > 0 and not os.path.exists(final_path):
+        orbax_io.save_checkpoint(args.output_dir, state, step,
+                                 keep=args.save_total_limit)
+    orbax_io.export_hf_safetensors(
+        jax.tree.map(np.asarray, state.params), cfg,
+        os.path.join(args.output_dir, "hf_export"))
+    rank0_print(f"done at step {step}: {last}")
+    return last
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+    return train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Data pipeline tests: manifest loading/sampling strategies, ChatML
+preprocessing with label masking, video loading, collation, and the
+HF-export/import round trip."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from memory_augmented_vlm_tpu import constants
+from memory_augmented_vlm_tpu.config import MemoryConfig
+from memory_augmented_vlm_tpu.data import collator, dataset, video
+from memory_augmented_vlm_tpu.models import vlm
+from tests.test_vlm import TINY
+
+
+class FakeTokenizer:
+    """Whitespace tokenizer with stable ids for preprocessing tests."""
+
+    SPECIALS = {"<|im_start|>": 1, "<|im_end|>": 2, "\n": 3}
+
+    def __init__(self):
+        self.vocab = dict(self.SPECIALS)
+
+    def _id(self, tok):
+        if tok not in self.vocab:
+            self.vocab[tok] = 10 + len(self.vocab)
+        return self.vocab[tok]
+
+    def __call__(self, text, add_special_tokens=False):
+        class R:
+            pass
+
+        r = R()
+        if text == "\n":
+            r.input_ids = [3]
+        else:
+            r.input_ids = [self._id(t) for t in text.split()] if text.strip() else []
+        return r
+
+    def convert_tokens_to_ids(self, tok):
+        return self.SPECIALS.get(tok, self._id(tok))
+
+
+def test_sampling_strategies():
+    items = list(range(100))
+    assert dataset._apply_sampling_strategy(items, "first:10") == list(range(10))
+    assert dataset._apply_sampling_strategy(items, "end:5") == list(range(95, 100))
+    assert len(dataset._apply_sampling_strategy(items, "random:7")) == 7
+    assert len(dataset._apply_sampling_strategy(items, "first:50%")) == 50
+    assert dataset._apply_sampling_strategy(items, "all") == items
+
+
+def test_yaml_manifest(tmp_path):
+    import yaml
+
+    a = [{"id": i, "conversations": []} for i in range(10)]
+    b = [{"id": 100 + i, "conversations": []} for i in range(10)]
+    (tmp_path / "a.json").write_text(json.dumps(a))
+    (tmp_path / "b.json").write_text(json.dumps(b))
+    spec = {"datasets": [
+        {"json_path": str(tmp_path / "a.json"), "sampling_strategy": "first:3"},
+        {"json_path": str(tmp_path / "b.json"), "sampling_strategy": "end:2"},
+    ]}
+    (tmp_path / "mix.yaml").write_text(yaml.dump(spec))
+    items = dataset.load_data_manifest(str(tmp_path / "mix.yaml"))
+    assert [x["id"] for x in items] == [0, 1, 2, 108, 109]
+
+
+def test_preprocess_qwen_masks_user_turns():
+    tok = FakeTokenizer()
+    convs = [
+        {"from": "human", "value": "what is in <image> here"},
+        {"from": "gpt", "value": "a cat"},
+        {"from": "human", "value": "sure ?"},
+        {"from": "gpt", "value": "yes"},
+    ]
+    enc = dataset.preprocess_qwen(convs, tok)
+    ids, labels = enc["input_ids"], enc["labels"]
+    assert len(ids) == len(labels)
+    assert (ids == constants.IMAGE_TOKEN_INDEX).sum() == 1
+    # image sentinel inside a user turn must be masked
+    assert labels[np.where(ids == constants.IMAGE_TOKEN_INDEX)[0][0]] == constants.IGNORE_INDEX
+    # assistant answer tokens supervised
+    cat_id = tok._id("cat")
+    assert cat_id in ids
+    assert labels[np.where(ids == cat_id)[0][0]] == cat_id
+    # user content masked
+    what_id = tok._id("what")
+    assert labels[np.where(ids == what_id)[0][0]] == constants.IGNORE_INDEX
+    # ChatML structure tokens unmasked everywhere
+    for sid in (1, 2):
+        for pos in np.where(ids == sid)[0]:
+            assert labels[pos] == sid
+
+
+def test_video_loading_from_tensor_and_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(40, 8, 8, 3), dtype=np.uint8)
+    np.save(tmp_path / "vid.npy", frames)
+    out, t, times, num = video.load_video(str(tmp_path / "vid.npy"))
+    # 40 frames @1fps -> 40s >= 32 -> n=(40-1)//32=1 -> 32 frames
+    assert out.shape[0] == 32 and num == 32
+    # frame dir
+    from PIL import Image
+
+    d = tmp_path / "framedir"
+    d.mkdir()
+    for i in range(5):
+        Image.fromarray(frames[i]).save(d / f"{i:04d}.jpg")
+    out2, t2, _, num2 = video.load_video(str(d))
+    assert out2.shape[0] == 5 and num2 == 5  # <32s -> 1fps keeps all
+
+
+def test_sample_indices_reference_rule():
+    idx, times, num = video.sample_frame_indices(3000, avg_fps=30.0)
+    # 100 s -> n=(100-1)//32=3 -> 96 frames
+    assert num == 96 and len(idx) == 96
+    idx, _, num = video.sample_frame_indices(150, avg_fps=30.0)
+    # 5 s -> 1 fps -> every 30th frame
+    assert idx == [0, 30, 60, 90, 120] and num == 5
+
+
+def test_dataset_retry_ladder(tmp_path):
+    items = [
+        {"id": 0, "video": "missing.npy", "conversations": [
+            {"from": "human", "value": "<image> ?"}, {"from": "gpt", "value": "x"}]},
+        {"id": 1, "conversations": [
+            {"from": "human", "value": "hi"}, {"from": "gpt", "value": "yo"}]},
+    ]
+    (tmp_path / "d.json").write_text(json.dumps(items))
+    ds = dataset.LazySupervisedDataset(
+        str(tmp_path / "d.json"), FakeTokenizer(), video_folder=str(tmp_path)
+    )
+    out = ds[0]  # falls through to sample 1
+    assert out["id"] == 1 and out["modality"] == "text"
+    assert ds.modality_lengths[0] > 0 and ds.modality_lengths[1] < 0
+
+
+def test_collate_video_batch():
+    tok = FakeTokenizer()
+    rng = np.random.default_rng(0)
+    mcfg = MemoryConfig(hidden_size=32, patch_size=4, num_memory_tokens=2,
+                        segment_frames=8, num_fine_frames=4)
+    samples = []
+    for f0 in (10, 20):
+        enc = dataset.preprocess_qwen(
+            [{"from": "human", "value": "look <image> now"},
+             {"from": "gpt", "value": "ok"}], tok)
+        samples.append({
+            "pixels": rng.standard_normal((f0, 56, 56, 3)).astype(np.float32),
+            **enc,
+        })
+    batch = collator.collate_video_batch(samples, mcfg)
+    b, fmax = batch["pixels"].shape[:2]
+    assert b == 2
+    assert fmax % mcfg.segment_frames == 0
+    assert batch["frame_valid"][0].sum() == 10 and batch["frame_valid"][1].sum() == 20
+    assert (batch["input_ids"] != constants.IMAGE_TOKEN_INDEX).all()
+    assert batch["text_len"][0] == batch["text_len"][1]  # same conversation
+
+
+def test_hf_export_import_roundtrip(tmp_path):
+    from memory_augmented_vlm_tpu.checkpoint.orbax_io import export_hf_safetensors
+    from memory_augmented_vlm_tpu.eval.builder import load_pretrained_model
+
+    params = vlm.init_params(TINY, jax.random.key(0))
+    export_hf_safetensors(params, TINY, str(tmp_path))
+    _, model, _, _ = load_pretrained_model(str(tmp_path), None, "llava_qwen",
+                                           torch_dtype="float32")
+    flat_a = jax.tree.leaves(params)
+    flat_b = jax.tree.leaves(
+        {k: model.params[k] for k in ("language_model", "vision_tower",
+                                      "mm_projector", "memory")}
+    )
+    ref = {k: params[k] for k in ("language_model", "vision_tower",
+                                  "mm_projector", "memory")}
+    for a, b in zip(jax.tree.leaves(ref), flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_orbax_save_restore(tmp_path):
+    from memory_augmented_vlm_tpu.checkpoint import orbax_io
+
+    params = vlm.init_params(TINY, jax.random.key(1))
+    p = orbax_io.save_checkpoint(str(tmp_path), params, step=10)
+    assert orbax_io.latest_checkpoint(str(tmp_path)) == p
+    orbax_io.save_checkpoint(str(tmp_path), params, step=20)
+    assert orbax_io.latest_checkpoint(str(tmp_path)).endswith("checkpoint-20")
+    restored = orbax_io.restore_checkpoint(
+        orbax_io.latest_checkpoint(str(tmp_path)), params
+    )
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
