@@ -90,6 +90,20 @@ def _stack(sd: Dict[str, np.ndarray], pattern: str, num: int, transpose=False) -
     return np.stack(mats).astype(np.float32)
 
 
+def _qkv_entry(sd: Dict[str, np.ndarray], prefix: str, L: int) -> dict:
+    """QKV projection entry; biases exist for Qwen2, not for Llama-family."""
+    out = {"kernel": _stack(sd, prefix + ".weight", L, transpose=True)}
+    if (prefix + ".bias").format(0) in sd:
+        out["bias"] = _stack(sd, prefix + ".bias", L)
+    return out
+
+
+def convert_llama(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """Llama/Mistral-family weights -> the same decoder pytree (no qkv bias).
+    Shares the Qwen2 converter — key names are identical minus biases."""
+    return convert_qwen2(sd, cfg)
+
+
 def convert_qwen2(sd: Dict[str, np.ndarray], cfg) -> dict:
     """HF Qwen2 weights -> models/qwen2.py param pytree.
 
@@ -105,18 +119,9 @@ def convert_qwen2(sd: Dict[str, np.ndarray], cfg) -> dict:
     layers = {
         "input_layernorm": _stack(sd, p + "input_layernorm.weight", L),
         "post_attention_layernorm": _stack(sd, p + "post_attention_layernorm.weight", L),
-        "q_proj": {
-            "kernel": _stack(sd, p + "self_attn.q_proj.weight", L, transpose=True),
-            "bias": _stack(sd, p + "self_attn.q_proj.bias", L),
-        },
-        "k_proj": {
-            "kernel": _stack(sd, p + "self_attn.k_proj.weight", L, transpose=True),
-            "bias": _stack(sd, p + "self_attn.k_proj.bias", L),
-        },
-        "v_proj": {
-            "kernel": _stack(sd, p + "self_attn.v_proj.weight", L, transpose=True),
-            "bias": _stack(sd, p + "self_attn.v_proj.bias", L),
-        },
+        "q_proj": _qkv_entry(sd, p + "self_attn.q_proj", L),
+        "k_proj": _qkv_entry(sd, p + "self_attn.k_proj", L),
+        "v_proj": _qkv_entry(sd, p + "self_attn.v_proj", L),
         "o_proj": {"kernel": _stack(sd, p + "self_attn.o_proj.weight", L, transpose=True)},
         "gate_proj": {"kernel": _stack(sd, p + "mlp.gate_proj.weight", L, transpose=True)},
         "up_proj": {"kernel": _stack(sd, p + "mlp.up_proj.weight", L, transpose=True)},

@@ -121,7 +121,26 @@ class MavlmForCausalLM:
             # channel-first torch layout -> channel-last
             if pixels.shape[1] == 3 and pixels.shape[-1] != 3:
                 pixels = pixels.transpose(0, 2, 3, 1)
-            embeds = vlm.video_qa_embeds(self.params, self.cfg, pixels, ids)
+            if modalities[0] == "video":
+                embeds = vlm.video_qa_embeds(self.params, self.cfg, pixels, ids)
+            else:
+                # anyres tile stack (base + tiles) from process_anyres_image
+                from memory_augmented_vlm_tpu.models.image_path import build_image_embeds
+                from memory_augmented_vlm_tpu.models.vlm import splice_image_embeds
+
+                size = None
+                if image_sizes:
+                    size = tuple(image_sizes[0])
+                else:
+                    size = (pixels.shape[2], pixels.shape[1])
+                visual = build_image_embeds(self.params, self.cfg, pixels, size)
+                pos = int(np.where(ids == constants.IMAGE_TOKEN_INDEX)[0][0])
+                embeds = splice_image_embeds(
+                    self.params,
+                    jnp.asarray(ids[:pos], jnp.int32),
+                    visual,
+                    jnp.asarray(ids[pos + 1 :], jnp.int32),
+                )
 
         temp = float(temperature) if do_sample else 0.0
         out = vlm.generate(

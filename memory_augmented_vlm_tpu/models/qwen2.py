@@ -52,6 +52,13 @@ class KVCache(NamedTuple):
         )
 
 
+def _maybe_bias(kernel, bias_shape, cfg, dtype):
+    out = {"kernel": kernel}
+    if cfg.attention_bias:
+        out["bias"] = jnp.zeros(bias_shape, dtype)
+    return out
+
+
 def init_params(cfg: LMConfig, key: jax.Array, dtype=jnp.float32):
     """Random init (for tests / from-scratch training). HF-style scales."""
     L, H, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
@@ -66,9 +73,9 @@ def init_params(cfg: LMConfig, key: jax.Array, dtype=jnp.float32):
         "layers": {
             "input_layernorm": jnp.ones((L, H), dtype),
             "post_attention_layernorm": jnp.ones((L, H), dtype),
-            "q_proj": {"kernel": dense(ks[1], (L, H, NH * D)), "bias": jnp.zeros((L, NH * D), dtype)},
-            "k_proj": {"kernel": dense(ks[2], (L, H, NKV * D)), "bias": jnp.zeros((L, NKV * D), dtype)},
-            "v_proj": {"kernel": dense(ks[3], (L, H, NKV * D)), "bias": jnp.zeros((L, NKV * D), dtype)},
+            "q_proj": _maybe_bias(dense(ks[1], (L, H, NH * D)), (L, NH * D), cfg, dtype),
+            "k_proj": _maybe_bias(dense(ks[2], (L, H, NKV * D)), (L, NKV * D), cfg, dtype),
+            "v_proj": _maybe_bias(dense(ks[3], (L, H, NKV * D)), (L, NKV * D), cfg, dtype),
             "o_proj": {"kernel": dense(ks[4], (L, NH * D, H))},
             "gate_proj": {"kernel": dense(ks[5], (L, H, I))},
             "up_proj": {"kernel": dense(ks[6], (L, H, I))},
@@ -100,9 +107,13 @@ def _layer_mlp(lp, x):
 def _qkv(lp, cfg: LMConfig, x):
     b, s, _ = x.shape
     NH, NKV, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    q = jnp.einsum("bsh,hd->bsd", x, lp["q_proj"]["kernel"]) + lp["q_proj"]["bias"]
-    k = jnp.einsum("bsh,hd->bsd", x, lp["k_proj"]["kernel"]) + lp["k_proj"]["bias"]
-    v = jnp.einsum("bsh,hd->bsd", x, lp["v_proj"]["kernel"]) + lp["v_proj"]["bias"]
+    q = jnp.einsum("bsh,hd->bsd", x, lp["q_proj"]["kernel"])
+    k = jnp.einsum("bsh,hd->bsd", x, lp["k_proj"]["kernel"])
+    v = jnp.einsum("bsh,hd->bsd", x, lp["v_proj"]["kernel"])
+    if cfg.attention_bias:
+        q = q + lp["q_proj"]["bias"]
+        k = k + lp["k_proj"]["bias"]
+        v = v + lp["v_proj"]["bias"]
     return (
         q.reshape(b, s, NH, D),
         k.reshape(b, s, NKV, D),

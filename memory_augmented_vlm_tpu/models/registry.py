@@ -1,0 +1,54 @@
+"""Model registry — name -> (family, config mapper), the reference's
+`AVAILABLE_MODELS` table (llava/model/__init__.py:1-16).
+
+All decoder-only families run through the same functional decoder
+(models/qwen2.py) parameterized by LMConfig; the registry captures which HF
+config fields / weight layouts each family uses:
+
+  llava_qwen     : Qwen2 (qkv bias, optional tied embeddings)   — ACTIVE
+  llava_llama    : Llama  (no attention bias)
+  llava_mistral  : Mistral (no attention bias, sliding window unused <=32k)
+  llava_mixtral / llava_qwen_moe : MoE — out of scope for v1 (the reference
+                   also ships these disabled, model/__init__.py:7)
+  llava_gemma    : Gemma (gelu MLP + embed scaling) — roadmap
+  llava_mpt      : MPT — roadmap
+"""
+
+from __future__ import annotations
+
+from memory_augmented_vlm_tpu.config import LMConfig
+
+
+def lm_config_for(model_type: str, raw: dict) -> LMConfig:
+    """Map an HF config dict to LMConfig per family."""
+    n_heads = raw.get("num_attention_heads", 14)
+    base = dict(
+        vocab_size=raw.get("vocab_size", 151936),
+        hidden_size=raw.get("hidden_size", 896),
+        intermediate_size=raw.get("intermediate_size", 4864),
+        num_hidden_layers=raw.get("num_hidden_layers", 24),
+        num_attention_heads=n_heads,
+        num_key_value_heads=raw.get("num_key_value_heads", n_heads),
+        head_dim=raw.get("head_dim") or raw.get("hidden_size", 896) // n_heads,
+        max_position_embeddings=raw.get("max_position_embeddings", 32768),
+        rope_theta=raw.get("rope_theta", 1000000.0),
+        rms_norm_eps=raw.get("rms_norm_eps", 1e-6),
+        tie_word_embeddings=raw.get("tie_word_embeddings", False),
+    )
+    family = model_type.replace("llava_", "")
+    if family in ("qwen", "qwen2", "llava_qwen"):
+        return LMConfig(attention_bias=True, **base)
+    if family in ("llama", "mistral", "mixtral"):
+        return LMConfig(attention_bias=False, **base)
+    raise ValueError(f"unsupported model family: {model_type}")
+
+
+AVAILABLE_MODELS = {
+    "llava_qwen": "active",
+    "llava_llama": "supported",
+    "llava_mistral": "supported",
+    "llava_mixtral": "roadmap (MoE)",
+    "llava_qwen_moe": "roadmap (MoE)",
+    "llava_gemma": "roadmap",
+    "llava_mpt": "roadmap",
+}

@@ -80,6 +80,24 @@ def ckpt_dir(tmp_path_factory):
     sd["model.image_newline"] = torch.randn(h) * 0.02
 
     save_file({k: v.contiguous() for k, v in sd.items()}, str(d / "model.safetensors"))
+    # loadable fast tokenizer so serve/eval paths work against this checkpoint
+    from tokenizers import Tokenizer, models as tok_models, pre_tokenizers, trainers
+
+    tok = Tokenizer(tok_models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    trainer = trainers.BpeTrainer(
+        vocab_size=2000,
+        special_tokens=["<|endoftext|>", "<|im_start|>", "<|im_end|>"],
+        show_progress=False,
+    )
+    tok.train_from_iterator(
+        ["describe the video", "hello world", "a cat sits", "what is here"] * 50,
+        trainer,
+    )
+    tok.save(str(d / "tokenizer.json"))
+    with open(d / "tokenizer_config.json", "w") as f:
+        json.dump({"tokenizer_class": "PreTrainedTokenizerFast",
+                   "eos_token": "<|im_end|>", "pad_token": "<|endoftext|>"}, f)
     config = dict(
         lm_cfg,
         model_type="llava_qwen",
