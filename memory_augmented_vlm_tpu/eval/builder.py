@@ -174,7 +174,8 @@ def load_pretrained_model(
     except Exception:
         pass
 
-    image_processor = SigLipImageProcessor()
+    image_processor = SigLipImageProcessor(
+        size=(cfg.vision.image_size, cfg.vision.image_size))
     model = MavlmForCausalLM(params, cfg, raw_config=raw, dtype=dtype)
 
     context_len = (

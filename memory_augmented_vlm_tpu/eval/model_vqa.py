@@ -1,0 +1,105 @@
+"""Batch VQA answer generation — the `llava/eval/model_vqa.py:86-240`
+equivalent: reads a questions JSON/JSONL, answers each with the model, writes
+an answers JSONL; supports chunk sharding (`--num-chunks/--chunk-idx`) for
+data-parallel evaluation across hosts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+from typing import List
+
+import numpy as np
+
+from memory_augmented_vlm_tpu import constants
+from memory_augmented_vlm_tpu.data.conversation import conv_templates
+from memory_augmented_vlm_tpu.data.tokenizer import tokenizer_image_token
+from memory_augmented_vlm_tpu.eval.builder import load_pretrained_model
+
+
+def get_chunk(lst: List, n: int, k: int) -> List:
+    size = math.ceil(len(lst) / n)
+    return lst[k * size : (k + 1) * size]
+
+
+def load_questions(path: str) -> List[dict]:
+    if path.endswith(".jsonl"):
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+    with open(path) as f:
+        return json.load(f)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--model-base", default=None)
+    p.add_argument("--question-file", required=True)
+    p.add_argument("--image-folder", default="")
+    p.add_argument("--video-folder", default="")
+    p.add_argument("--answers-file", default="answers.jsonl")
+    p.add_argument("--conv-mode", default="qwen_1_5")
+    p.add_argument("--num-chunks", type=int, default=1)
+    p.add_argument("--chunk-idx", type=int, default=0)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--max_new_tokens", type=int, default=128)
+    p.add_argument("--max_frames_num", type=int, default=64)
+    args = p.parse_args(argv)
+
+    tokenizer, model, image_processor, _ = load_pretrained_model(
+        args.model_path, args.model_base, "llava_qwen")
+    questions = get_chunk(load_questions(args.question_file),
+                          args.num_chunks, args.chunk_idx)
+    os.makedirs(os.path.dirname(os.path.abspath(args.answers_file)), exist_ok=True)
+
+    with open(args.answers_file, "w") as ans_file:
+        for q in questions:
+            text = q.get("text", q.get("question", ""))
+            pixels, modality = None, "text"
+            if q.get("video"):
+                from memory_augmented_vlm_tpu.data.video import load_video
+
+                frames, *_ = load_video(os.path.join(args.video_folder, q["video"]))
+                if frames.shape[0] > args.max_frames_num:
+                    idx = np.linspace(0, frames.shape[0] - 1,
+                                      args.max_frames_num).astype(int)
+                    frames = frames[idx]
+                pixels = image_processor.preprocess(frames)
+                modality = "video"
+            elif q.get("image"):
+                from PIL import Image
+
+                pixels = image_processor.preprocess(
+                    Image.open(os.path.join(args.image_folder, q["image"])))
+                modality = "image"
+            if pixels is not None and constants.DEFAULT_IMAGE_TOKEN not in text:
+                text = constants.DEFAULT_IMAGE_TOKEN + "\n" + text
+
+            conv = conv_templates[args.conv_mode].copy()
+            conv.append_message(conv.roles[0], text)
+            conv.append_message(conv.roles[1], None)
+            ids = tokenizer_image_token(conv.get_prompt(), tokenizer)
+            out = model.generate(
+                ids[None],
+                images=[pixels] if pixels is not None else None,
+                modalities=[modality],
+                do_sample=args.temperature > 0,
+                temperature=args.temperature,
+                max_new_tokens=args.max_new_tokens,
+                eos_token_id=tokenizer.convert_tokens_to_ids("<|im_end|>"),
+            )
+            answer = tokenizer.decode(out[0], skip_special_tokens=True).strip()
+            ans_file.write(json.dumps({
+                "question_id": q.get("question_id", q.get("id")),
+                "prompt": text,
+                "text": answer,
+                "model_id": os.path.basename(args.model_path.rstrip("/")),
+            }) + "\n")
+            ans_file.flush()
+
+
+if __name__ == "__main__":
+    main()

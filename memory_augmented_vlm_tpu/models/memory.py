@@ -113,11 +113,17 @@ def _residual(p, hidden, input_tensor, eps):
 
 
 def attention(p, cfg: MemoryConfig, query: jax.Array, kv: jax.Array,
-              kv_mask: Optional[jax.Array] = None) -> jax.Array:
+              kv_mask: Optional[jax.Array] = None,
+              kv_valid_len: Optional[jax.Array] = None) -> jax.Array:
     """Post-LN cross attention (MemoryController.py:31-57).
 
     query: (B, Lq, D), kv: (B, Lk, D), kv_mask: (B, Lk) bool (True = attend).
     output = LayerNorm(Linear(softmax(QK^T/sqrt(dh)) V) + query).
+
+    On TPU, when the mask is a prefix (kv_valid_len given), the softmax runs
+    through the Pallas flash kernel with the head dim zero-padded to a lane
+    multiple — the XLA path materializes (H, Lq, Lk) fp32 logits (~315 MB at
+    the flagship 1568x6272 shape), which made the memory module HBM-bound.
     """
     b, lq, d = query.shape
     nh = cfg.num_attention_heads
@@ -125,12 +131,36 @@ def attention(p, cfg: MemoryConfig, query: jax.Array, kv: jax.Array,
     q = _linear(p["q_proj"], query).reshape(b, lq, nh, hd)
     k = _linear(p["k_proj"], kv).reshape(b, kv.shape[1], nh, hd)
     v = _linear(p["v_proj"], kv).reshape(b, kv.shape[1], nh, hd)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    logits = logits / (hd**0.5)
-    if kv_mask is not None:
-        logits = jnp.where(kv_mask[:, None, None, :], logits, NEG_INF)
-    probs = jax.nn.softmax(logits, axis=-1)
-    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(query.dtype), v).reshape(b, lq, d)
+
+    use_flash = (
+        jax.default_backend() == "tpu"
+        and kv_mask is None
+        and lq >= 128
+        and kv.shape[1] >= 256
+    )
+    if use_flash:
+        from memory_augmented_vlm_tpu.ops.pallas_flash import pallas_flash_attention
+
+        hd_pad = ((hd + 127) // 128) * 128
+        pad = ((0, 0), (0, 0), (0, 0), (0, hd_pad - hd))
+        ctx = pallas_flash_attention(
+            jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
+            causal=False,
+            kv_valid_len=kv_valid_len,
+            scale=hd**-0.5,
+            block_q=256,
+            block_k=512,
+        )[..., :hd].reshape(b, lq, d)
+    else:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits / (hd**0.5)
+        if kv_mask is not None:
+            logits = jnp.where(kv_mask[:, None, None, :], logits, NEG_INF)
+        elif kv_valid_len is not None:
+            pos = jnp.arange(kv.shape[1])[None, None, None, :]
+            logits = jnp.where(pos < kv_valid_len[:, None, None, None], logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(query.dtype), v).reshape(b, lq, d)
     return _residual(p["residual"], ctx, query, cfg.layer_norm_eps)
 
 
@@ -155,9 +185,11 @@ def evolve_with_cache(params, cfg: MemoryConfig, state: MemoryState) -> jax.Arra
     )
     query = last.reshape(1, nm * pp, d)
     keyval = state.cache.reshape(1, cap * nm * pp, d)
-    entry_valid = jnp.arange(cap) < state.cache_len
-    kv_mask = jnp.repeat(entry_valid, nm * pp)[None]
-    updated = attention(params["memory_update_attention"], cfg, query, keyval, kv_mask)
+    # valid cache entries occupy a prefix -> express the mask as a length so
+    # the flash path applies
+    kv_len = (state.cache_len * nm * pp)[None]
+    updated = attention(params["memory_update_attention"], cfg, query, keyval,
+                        kv_valid_len=kv_len)
     return updated.reshape(nm, pp, d)
 
 
@@ -173,10 +205,13 @@ def fuse_segment(params, cfg: MemoryConfig, memory_tokens: jax.Array,
     fseg = segment.shape[0]
     mem2d = memory_tokens.reshape(1, nm * pp, d)
     seg2d = segment.reshape(1, fseg * pp, d)
-    kv_mask = jnp.repeat(frame_valid, pp)[None]
+    # valid frames are a prefix of the segment (global prefix padding), so a
+    # length mask suffices and enables the flash kernel
+    kv_len = (jnp.sum(frame_valid.astype(jnp.int32)) * pp)[None]
 
     def layer_body(mem2d, lp):
-        attn_out = attention(lp["attention"], cfg, mem2d, seg2d, kv_mask)
+        attn_out = attention(lp["attention"], cfg, mem2d, seg2d,
+                             kv_valid_len=kv_len)
         mlp_out = _act(cfg, _linear(lp["mlp"], attn_out))
         out = _residual(lp["residual"], mlp_out, attn_out, cfg.layer_norm_eps)
         return out, None

@@ -128,26 +128,32 @@ def pallas_flash_attention(
     block_k: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """Forward flash attention. S must be a multiple of the block sizes'
-    gcd-padding; the wrapper pads S up to a block multiple internally."""
-    b, s, h, d = q.shape
+    """Forward flash attention; q and k/v sequence lengths may differ
+    (cross-attention). Sequences are padded to block multiples internally;
+    `causal` assumes q and kv share one timeline (self-attention)."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    if causal and sq != skv:
+        raise ValueError("causal flash attention requires equal q/kv lengths")
     scale = scale if scale is not None else d**-0.5
     if kv_valid_len is None:
-        kv_valid_len = jnp.full((b,), s, jnp.int32)
+        kv_valid_len = jnp.full((b,), skv, jnp.int32)
     kv_valid_len = kv_valid_len.astype(jnp.int32)
 
-    block_q = min(block_q, s)
-    block_k = min(block_k, s)
-    spad = ((s + max(block_q, block_k) - 1) // max(block_q, block_k)) * max(block_q, block_k)
-    if spad != s:
-        pad = ((0, 0), (0, spad - s), (0, 0), (0, 0))
-        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    block_q = min(block_q, max(sq, 128))
+    block_k = min(block_k, max(skv, 128))
+    sq_pad = ((sq + block_q - 1) // block_q) * block_q
+    skv_pad = ((skv + block_k - 1) // block_k) * block_k
+    if sq_pad != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0), (0, 0)))
+    if skv_pad != skv:
+        pad = ((0, 0), (0, skv_pad - skv), (0, 0), (0, 0))
+        k, v = jnp.pad(k, pad), jnp.pad(v, pad)
     # (B, H, S, D) layout for blocking
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    sp = qt.shape[2]
-    nq, nkv = sp // block_q, sp // block_k
+    nq, nkv = sq_pad // block_q, skv_pad // block_k
 
     kernel = functools.partial(
         _flash_fwd_kernel,
@@ -182,6 +188,6 @@ def pallas_flash_attention(
         interpret=interpret,
     )(kv_valid_len, qt, kt, vt)
     out = out.transpose(0, 2, 1, 3)
-    if spad != s:
-        out = out[:, :s]
+    if sq_pad != sq:
+        out = out[:, :sq]
     return out

@@ -60,9 +60,11 @@ def ckpt_dir(tmp_path_factory):
         out[f"{prefix}.residual.layernorm.bias"] = torch.zeros(h)
         return out
 
+    # memory geometry consistent with the tiny tower: 56px/14 -> 4x4 patches
+    # -> 2x2 pooled = 4 tokens/frame
     rmt = "model.recurrent_memory_transformer"
-    sd[f"{rmt}.initial_memory"] = torch.randn(8, 196, h) * 0.02
-    sd[f"{rmt}.memory_pos_embed"] = torch.randn(8, 1, h)
+    sd[f"{rmt}.initial_memory"] = torch.randn(2, 4, h) * 0.02
+    sd[f"{rmt}.memory_pos_embed"] = torch.randn(2, 1, h)
     sd.update(attn(f"{rmt}.memory_update_attention"))
     for i in range(2):
         sd.update(attn(f"{rmt}.layers.{i}.memory_segment_fusion_attention"))
@@ -119,7 +121,7 @@ def test_load_and_generate(ckpt_dir):
     )
     assert context_len == 2048
     assert model.config.hidden_size == 32
-    assert image_processor.size == (384, 384)
+    assert image_processor.size == (56, 56)  # matches the checkpoint tower
 
     # text-only generate
     ids = np.array([[10, 20, 30]], np.int64)

@@ -45,3 +45,35 @@ def test_kernel_pads_non_multiple_sequence():
     )
     ref = mha_attention(q, q, q, causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_memory_attention_flash_path_semantics(monkeypatch):
+    """Force the memory cross-attention flash dispatch (with head-dim padding)
+    through the interpreted kernel on CPU and pin it to the XLA path."""
+    import jax
+    import memory_augmented_vlm_tpu.models.memory as jmem
+    from memory_augmented_vlm_tpu.config import MemoryConfig
+    from memory_augmented_vlm_tpu.ops import pallas_flash
+
+    cfg = MemoryConfig(hidden_size=64, num_attention_heads=4, patch_size=4,
+                       num_memory_tokens=2)
+    params = jmem.init_params(cfg, jax.random.key(0))
+    p = params["memory_update_attention"]
+    rng = np.random.default_rng(5)
+    q_in = jnp.asarray(rng.standard_normal((1, 128, 64)), jnp.float32)
+    kv_in = jnp.asarray(rng.standard_normal((1, 256, 64)), jnp.float32)
+    vl = jnp.asarray([200], jnp.int32)
+
+    ref = jmem.attention(p, cfg, q_in, kv_in,
+                         kv_mask=(jnp.arange(256) < 200)[None])
+
+    monkeypatch.setattr(jmem.jax, "default_backend", lambda: "tpu")
+    orig = pallas_flash.pallas_flash_attention
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pallas_flash, "pallas_flash_attention", interp)
+    got = jmem.attention(p, cfg, q_in, kv_in, kv_valid_len=vl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
