@@ -83,16 +83,22 @@ def decode_attention(
     cache_len:(B,) int32 — number of valid cache positions (including current).
     """
     dtype = q.dtype
-    d = q.shape[-1]
+    b, _, h, d = q.shape
     scale = scale if scale is not None else d**-0.5
-    k = repeat_kv(k_cache, kv_groups)
-    v = repeat_kv(v_cache, kv_groups)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    hkv = k_cache.shape[2]
+    # GQA-native: group query heads against their kv head without
+    # materializing the repeated cache (saves kv_groups x cache traffic on
+    # the latency-critical decode step)
+    qg = q.reshape(b, q.shape[1], hkv, kv_groups, d)
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k_cache,
+                        preferred_element_type=jnp.float32)
     logits = logits * scale
-    valid = jnp.arange(k.shape[1])[None, None, None, :] < cache_len[:, None, None, None]
+    valid = jnp.arange(k_cache.shape[1])[None, None, None, None, :] < (
+        cache_len[:, None, None, None, None])
     logits = jnp.where(valid, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(dtype), v_cache)
+    return out.reshape(b, q.shape[1], h, d)
 
 
 def flash_attention(
