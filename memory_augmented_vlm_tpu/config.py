@@ -161,6 +161,8 @@ class PipelineConfig:
     frames_upbound: int = 300
     video_fps: int = 1
     force_sample: bool = False
+    # int8 quantized inference for the frozen tower (load_8bit equivalent)
+    tower_int8: bool = False
     # Frame-count buckets used to keep shapes static under jit.
     frame_buckets: Tuple[int, ...] = (32, 64, 96, 128, 160, 192, 224, 256)
 

@@ -106,6 +106,7 @@ def config_from_json(raw: dict) -> VLMConfig:
         add_time_instruction=raw.get("add_time_instruction", False),
         tokenizer_model_max_length=raw.get("tokenizer_model_max_length", 32768),
         frames_upbound=raw.get("frames_upbound", 300),
+        tower_int8=raw.get("tower_int8", False),
     )
     return VLMConfig(lm=lm, pipeline=pipeline,
                      vision=VisionConfig(), memory=MemoryConfig(hidden_size=lm.hidden_size))
@@ -129,6 +130,8 @@ def load_pretrained_model(
     torch_dtype: str = "bfloat16",
     attn_implementation: str = "pallas_flash",  # accepted for signature parity
     device_map: str = "auto",
+    load_8bit: bool = False,
+    load_4bit: bool = False,
     overwrite_config: Optional[dict] = None,
     **kwargs,
 ) -> Tuple[object, MavlmForCausalLM, SigLipImageProcessor, int]:
@@ -143,6 +146,9 @@ def load_pretrained_model(
         raw = json.load(f)
     if overwrite_config:
         raw.update(overwrite_config)
+    if load_8bit or load_4bit:
+        # 4-bit collapses to the int8 path (v1 has no int4 kernels)
+        raw["tower_int8"] = True
     sd = hf_import.load_safetensors_dir(model_path)
     cfg = config_from_json_and_weights(raw, sd)
     dtype = jnp.bfloat16 if torch_dtype in ("bfloat16", "auto") else jnp.float32

@@ -61,7 +61,11 @@ def init_params(cfg: VisionConfig, key: jax.Array, dtype=jnp.float32):
     }
 
 
-def _linear(p, x):
+def _linear(p, x, quantized: bool = False):
+    if quantized:
+        from memory_augmented_vlm_tpu.ops.quant import int8_einsum_io
+
+        return int8_einsum_io(x, p["kernel"]) + p["bias"]
     return jnp.einsum("...i,io->...o", x, p["kernel"]) + p["bias"]
 
 
@@ -81,8 +85,13 @@ def embed_patches(params, cfg: VisionConfig, pixel_values: jax.Array) -> jax.Arr
     return out + params["position_embedding"].astype(out.dtype)
 
 
-def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *, remat: bool = False) -> jax.Array:
-    """Vision tower forward: (B, H, W, C) pixels -> (B, 729, 1152) features."""
+def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
+            remat: bool = False, int8: bool = False) -> jax.Array:
+    """Vision tower forward: (B, H, W, C) pixels -> (B, 729, 1152) features.
+
+    `int8=True` routes the projections through the quantized MXU path
+    (ops/quant.py) — the reference's load_8bit equivalent for the frozen
+    tower."""
     hidden = embed_patches(params, cfg, pixel_values)
     b, s, h = hidden.shape
     nh = cfg.num_attention_heads
@@ -92,17 +101,17 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *, remat: bool =
         residual = hidden
         x = layer_norm(hidden, lp["layer_norm1"]["weight"], lp["layer_norm1"]["bias"],
                        cfg.layer_norm_eps)
-        q = _linear(lp["q_proj"], x).reshape(b, s, nh, hd)
-        k = _linear(lp["k_proj"], x).reshape(b, s, nh, hd)
-        v = _linear(lp["v_proj"], x).reshape(b, s, nh, hd)
+        q = _linear(lp["q_proj"], x, int8).reshape(b, s, nh, hd)
+        k = _linear(lp["k_proj"], x, int8).reshape(b, s, nh, hd)
+        v = _linear(lp["v_proj"], x, int8).reshape(b, s, nh, hd)
         attn = mha_attention(q, k, v).reshape(b, s, h)
-        hidden = residual + _linear(lp["out_proj"], attn)
+        hidden = residual + _linear(lp["out_proj"], attn, int8)
         residual = hidden
         x = layer_norm(hidden, lp["layer_norm2"]["weight"], lp["layer_norm2"]["bias"],
                        cfg.layer_norm_eps)
-        x = _linear(lp["fc1"], x)
+        x = _linear(lp["fc1"], x, int8)
         x = jax.nn.gelu(x, approximate=True)  # gelu_pytorch_tanh
-        hidden = residual + _linear(lp["fc2"], x)
+        hidden = residual + _linear(lp["fc2"], x, int8)
         return hidden, None
 
     if remat:

@@ -111,7 +111,8 @@ def encode_frames(params, cfg: VLMConfig, pixels: jax.Array) -> jax.Array:
     Tower + projector outputs are stop_gradient'ed: the reference detaches
     vision features even during training (llava_arch.py:302).
     """
-    feats = siglip.forward(params["vision_tower"], cfg.vision, pixels)
+    feats = siglip.forward(params["vision_tower"], cfg.vision, pixels,
+                           int8=cfg.pipeline.tower_int8)
     feats = projector_mod.forward(
         params["mm_projector"], cfg.pipeline.mm_projector_type, feats
     )
