@@ -35,6 +35,9 @@ class LMConfig:
     rms_norm_eps: float = 1e-6
     tie_word_embeddings: bool = True
     attention_bias: bool = True       # Qwen2 uses bias on q/k/v, none on o
+    # rope scaling (train.py:113-114,1362-1372 overwrite_config rope knobs)
+    rope_scaling_type: Optional[str] = None   # None | "linear" | "dynamic"
+    rope_scaling_factor: float = 1.0
     # dtype used for activations on device (params may be kept in fp32 master copies)
     dtype: str = "bfloat16"
 

@@ -151,7 +151,13 @@ def forward(
     Returns (hidden_states (B, S, H) after final norm, KVCache).
     """
     b, s, _ = inputs_embeds.shape
-    inv_freq = compute_rope_freqs(cfg.head_dim, cfg.rope_theta)
+    inv_freq = compute_rope_freqs(
+        cfg.head_dim, cfg.rope_theta,
+        scaling_type=cfg.rope_scaling_type,
+        scaling_factor=cfg.rope_scaling_factor,
+        max_position_embeddings=cfg.max_position_embeddings,
+        seq_len=s,
+    )
     cos, sin = rope_cos_sin(positions, inv_freq)
 
     if valid_len is None:

@@ -11,10 +11,27 @@ import jax
 import jax.numpy as jnp
 
 
-def compute_rope_freqs(head_dim: int, theta: float) -> jax.Array:
-    """inv_freq[j] = theta^(-2j/d), shape (head_dim//2,), fp32."""
+def compute_rope_freqs(head_dim: int, theta: float,
+                       scaling_type=None, scaling_factor: float = 1.0,
+                       max_position_embeddings: int = 32768,
+                       seq_len: int = 0) -> jax.Array:
+    """inv_freq[j] = theta^(-2j/d), shape (head_dim//2,), fp32.
+
+    rope scaling (HF semantics, enabled via overwrite_config rope knobs):
+      - "linear": positions divided by factor (applied in `rope_cos_sin`
+        through `compute_rope_freqs` scaling of inv_freq)
+      - "dynamic" (NTK): theta grown with the actual sequence length
+    """
+    if scaling_type == "dynamic" and seq_len > max_position_embeddings:
+        theta = theta * (
+            (scaling_factor * seq_len / max_position_embeddings)
+            - (scaling_factor - 1)
+        ) ** (head_dim / (head_dim - 2))
     exponents = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
-    return 1.0 / (theta**exponents)
+    inv = 1.0 / (theta**exponents)
+    if scaling_type == "linear":
+        inv = inv / scaling_factor
+    return inv
 
 
 def rope_cos_sin(positions: jax.Array, inv_freq: jax.Array):

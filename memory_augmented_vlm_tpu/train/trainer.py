@@ -144,8 +144,22 @@ def chunked_cross_entropy(params, cfg: VLMConfig, hidden, labels, valid_len,
     return tot / jnp.maximum(cnt, 1), cnt
 
 
+def pos_skipping_positions(seq_len: int, batch: int, key, skip_range: int):
+    """Length-generalization position skipping (llava_arch.py:869-875): split
+    the sequence at a random point and add independent random offsets to the
+    two halves."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    split = jax.random.randint(k1, (), 0, seq_len + 1)
+    left = jax.random.randint(k2, (), 0, skip_range + 1)
+    right = left + jax.random.randint(k3, (), 0, jnp.maximum(skip_range + 1 - left, 1))
+    pos = jnp.arange(seq_len)
+    pos = pos + jnp.where(pos < split, left, right)
+    return jnp.broadcast_to(pos[None], (batch, seq_len))
+
+
 def multimodal_loss(params, cfg: VLMConfig, batch: TrainBatch, *,
-                    nseg: int, drop_frames: bool = False):
+                    nseg: int, drop_frames: bool = False,
+                    pos_skip_key=None):
     """Full fusion + LM loss for one bucketed batch."""
     b, fmax = batch.pixels.shape[:2]
     pix = batch.pixels.reshape((b * fmax,) + batch.pixels.shape[2:])
@@ -168,7 +182,13 @@ def multimodal_loss(params, cfg: VLMConfig, batch: TrainBatch, *,
         text_embeds, visual, batch.image_pos, batch.labels, constants.IGNORE_INDEX
     )
     valid_len = batch.text_len + visual.shape[1]
-    positions = jnp.broadcast_to(jnp.arange(embeds.shape[1])[None], embeds.shape[:2])
+    if cfg.pipeline.use_pos_skipping and pos_skip_key is not None:
+        positions = pos_skipping_positions(
+            embeds.shape[1], embeds.shape[0], pos_skip_key,
+            cfg.pipeline.pos_skipping_range)
+    else:
+        positions = jnp.broadcast_to(
+            jnp.arange(embeds.shape[1])[None], embeds.shape[:2])
     hidden, _ = qwen2.forward(
         params["language_model"], cfg.lm, embeds, positions, valid_len=valid_len,
         remat=True, differentiable_attention=True,
