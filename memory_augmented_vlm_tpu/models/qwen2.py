@@ -139,6 +139,8 @@ def forward(
     remat: bool = False,
     force_reference_attention: bool = False,
     differentiable_attention: bool = False,
+    memory_prompt: Optional[jax.Array] = None,
+    memory_prompt_layers: int = 10,
 ) -> Tuple[jax.Array, KVCache]:
     """Full-sequence forward (prefill / training).
 
@@ -147,6 +149,13 @@ def forward(
     valid_len:     (B,) int32 — right-padded valid length (None = all valid).
     cache_max_len: if set, the returned KVCache is padded to this length so
                    decode can continue in place.
+    memory_prompt: optional (T, H) deep-prompt memory tokens exposed as extra
+                   attention keys/values in the LAST `memory_prompt_layers`
+                   layers — the dormant "memory as per-layer prompt" design
+                   of the vendored Qwen2 (modeling_qwen2.py:743-794,
+                   :1062-1115; prepend-then-trim there is equivalent to
+                   extra non-causal K/V here since the prompt's own query
+                   rows are discarded).
 
     Returns (hidden_states (B, S, H) after final norm, KVCache).
     """
@@ -163,21 +172,53 @@ def forward(
     if valid_len is None:
         valid_len = jnp.full((b,), s, jnp.int32)
 
-    def layer_body(hidden, lp):
+    if memory_prompt is not None:
+        t_mem = memory_prompt.shape[0]
+        # dedicated position ids for the memory block (reference gives the
+        # prompt its own positions before the sequence)
+        mem_pos = jnp.arange(t_mem)
+        mem_cos, mem_sin = rope_cos_sin(mem_pos[None], inv_freq)
+        n_layers = params["layers"]["input_layernorm"].shape[0]
+        inject_flags = jnp.arange(n_layers) >= (n_layers - memory_prompt_layers)
+
+    def layer_body(hidden, xs):
+        if memory_prompt is None:
+            lp = xs
+        else:
+            lp, inject = xs
         residual = hidden
         x = rms_norm(hidden, lp["input_layernorm"], cfg.rms_norm_eps)
         q, k, v = _qkv(lp, cfg, x)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        kq = repeat_kv(k, cfg.kv_groups)
-        vq = repeat_kv(v, cfg.kv_groups)
-        attn = flash_attention(
-            q, kq, vq,
-            causal=True,
-            kv_valid_len=valid_len,
-            force_reference=force_reference_attention,
-            differentiable=differentiable_attention,
-        )
+        if memory_prompt is None:
+            kq = repeat_kv(k, cfg.kv_groups)
+            vq = repeat_kv(v, cfg.kv_groups)
+            attn = flash_attention(
+                q, kq, vq,
+                causal=True,
+                kv_valid_len=valid_len,
+                force_reference=force_reference_attention,
+                differentiable=differentiable_attention,
+            )
+        else:
+            # memory tokens as extra (non-causal) keys/values, masked out on
+            # layers without injection
+            mx = rms_norm(memory_prompt[None], lp["input_layernorm"],
+                          cfg.rms_norm_eps)
+            mq, mk, mv = _qkv(lp, cfg, jnp.broadcast_to(mx, (b,) + mx.shape[1:]))
+            mk = apply_rope(mk, mem_cos, mem_sin)
+            t_m = mk.shape[1]
+            kq = repeat_kv(jnp.concatenate([mk, k], axis=1), cfg.kv_groups)
+            vq = repeat_kv(jnp.concatenate([mv, v], axis=1), cfg.kv_groups)
+            sq, sk = s, t_m + s
+            qpos = jnp.arange(sq)[:, None]
+            kpos = jnp.arange(sk)[None, :]
+            causal_part = (kpos - t_m) <= qpos
+            mem_part = (kpos < t_m) & inject
+            kv_ok = (kpos - t_m) < valid_len[:, None, None, None]
+            mask = ((mem_part | ((kpos >= t_m) & causal_part))[None, None] & kv_ok)
+            attn = mha_attention(q, kq, vq, mask=mask)
         attn = attn.reshape(b, s, -1)
         attn = jnp.einsum("bsd,dh->bsh", attn, lp["o_proj"]["kernel"])
         hidden = residual + attn
@@ -189,7 +230,9 @@ def forward(
     if remat:
         layer_body = jax.checkpoint(layer_body, prevent_cse=False)
 
-    hidden, (ks, vs) = jax.lax.scan(layer_body, inputs_embeds, params["layers"])
+    scan_xs = (params["layers"] if memory_prompt is None
+               else (params["layers"], inject_flags))
+    hidden, (ks, vs) = jax.lax.scan(layer_body, inputs_embeds, scan_xs)
     hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
 
     max_len = cache_max_len or s

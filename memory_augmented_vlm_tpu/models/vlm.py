@@ -162,7 +162,7 @@ def build_video_embeds(
     mem_prompt = qwen2.embed_tokens(lm, jnp.asarray(constants.MEMORY_PROMPT_IDS)).astype(mem_tokens.dtype)
 
     mem_stream = jnp.concatenate(
-        [mem_prompt, mem_tokens.reshape(-1, h), newline], axis=0
+        [mem_prompt, _merge_frames(cfg, mem_tokens, newline)], axis=0
     )
     if drop_fine_frames:
         return mem_stream
@@ -170,8 +170,46 @@ def build_video_embeds(
     fine = jnp.take(feats, fine_idx, axis=0)  # (nfine, 196, H)
     fine = fine + tte[1][None, None, :]
     frame_prompt = qwen2.embed_tokens(lm, jnp.asarray(constants.FRAME_PROMPT_IDS)).astype(mem_tokens.dtype)
-    fine_stream = jnp.concatenate([frame_prompt, fine.reshape(-1, h), newline], axis=0)
+    fine_stream = jnp.concatenate(
+        [frame_prompt, _merge_frames(cfg, fine, newline)], axis=0)
     return jnp.concatenate([mem_stream, fine_stream], axis=0)
+
+
+def add_token_per_frame(feature: jax.Array, newline: jax.Array) -> jax.Array:
+    """`mm_newline_position="frame"`: append image_newline after every frame
+    (llava_arch.py:353-357) -> (N*(P+1), H)."""
+    n, p, h = feature.shape
+    nl = jnp.broadcast_to(newline.reshape(1, 1, h), (n, 1, h)).astype(feature.dtype)
+    return jnp.concatenate([feature, nl], axis=1).reshape(-1, h)
+
+
+def add_token_per_grid(feature: jax.Array, newline: jax.Array) -> jax.Array:
+    """`mm_newline_position="grid"`: append image_newline after every grid
+    row of every frame (llava_arch.py:330-351) -> (N*side*(side+1), H)."""
+    n, p, h = feature.shape
+    side = int(round(p**0.5))
+    grid = feature.reshape(n, side, side, h)
+    nl = jnp.broadcast_to(newline.reshape(1, 1, 1, h), (n, side, 1, h)).astype(feature.dtype)
+    return jnp.concatenate([grid, nl], axis=2).reshape(-1, h)
+
+
+def _merge_frames(cfg: VLMConfig, feature: jax.Array, newline: jax.Array) -> jax.Array:
+    """Apply the configured mm_newline_position merge to a (N, P, H) stream
+    (llava_arch.py:583-634 video branch)."""
+    pos = cfg.pipeline.mm_newline_position
+    h = feature.shape[-1]
+    if pos == "one_token":
+        flat = feature.reshape(-1, h)
+        if "unpad" in cfg.pipeline.mm_patch_merge_type:
+            flat = jnp.concatenate([flat, newline.reshape(1, h)], axis=0)
+        return flat
+    if pos == "frame":
+        return add_token_per_frame(feature, newline)
+    if pos == "grid":
+        return add_token_per_grid(feature, newline)
+    if pos == "no_token":
+        return feature.reshape(-1, h)
+    raise ValueError(f"Unexpected mm_newline_position: {pos}")
 
 
 def splice_image_embeds(
