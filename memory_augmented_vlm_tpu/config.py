@@ -38,6 +38,10 @@ class LMConfig:
     # rope scaling (train.py:113-114,1362-1372 overwrite_config rope knobs)
     rope_scaling_type: Optional[str] = None   # None | "linear" | "dynamic"
     rope_scaling_factor: float = 1.0
+    # family variations (Gemma): gelu-tanh MLP, (1+w) RMSNorm, sqrt(H) embeds
+    mlp_act: str = "silu"
+    norm_plus_one: bool = False
+    scale_embeddings: bool = False
     # dtype used for activations on device (params may be kept in fp32 master copies)
     dtype: str = "bfloat16"
 

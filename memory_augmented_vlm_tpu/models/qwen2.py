@@ -88,8 +88,11 @@ def init_params(cfg: LMConfig, key: jax.Array, dtype=jnp.float32):
     return params
 
 
-def embed_tokens(params, input_ids: jax.Array) -> jax.Array:
-    return jnp.take(params["embed_tokens"], input_ids, axis=0)
+def embed_tokens(params, input_ids: jax.Array, cfg: Optional[LMConfig] = None) -> jax.Array:
+    out = jnp.take(params["embed_tokens"], input_ids, axis=0)
+    if cfg is not None and cfg.scale_embeddings:
+        out = out * jnp.asarray(cfg.hidden_size**0.5, out.dtype)
+    return out
 
 
 def unembed(params, cfg: LMConfig, hidden: jax.Array) -> jax.Array:
@@ -105,10 +108,20 @@ def unembed(params, cfg: LMConfig, hidden: jax.Array) -> jax.Array:
                       preferred_element_type=jnp.float32)
 
 
-def _layer_mlp(lp, x):
+def _layer_mlp(lp, x, act: str = "silu"):
     gate = jnp.einsum("bsh,hi->bsi", x, lp["gate_proj"]["kernel"])
     up = jnp.einsum("bsh,hi->bsi", x, lp["up_proj"]["kernel"])
-    return jnp.einsum("bsi,ih->bsh", jax.nn.silu(gate) * up, lp["down_proj"]["kernel"])
+    if act == "silu":
+        g = jax.nn.silu(gate)
+    elif act in ("gelu", "gelu_pytorch_tanh"):
+        g = jax.nn.gelu(gate, approximate=act == "gelu_pytorch_tanh")
+    else:
+        raise ValueError(act)
+    return jnp.einsum("bsi,ih->bsh", g * up, lp["down_proj"]["kernel"])
+
+
+def _norm(x, w, cfg: LMConfig):
+    return rms_norm(x, (1.0 + w) if cfg.norm_plus_one else w, cfg.rms_norm_eps)
 
 
 def _qkv(lp, cfg: LMConfig, x):
@@ -187,7 +200,7 @@ def forward(
         else:
             lp, inject = xs
         residual = hidden
-        x = rms_norm(hidden, lp["input_layernorm"], cfg.rms_norm_eps)
+        x = _norm(hidden, lp["input_layernorm"], cfg)
         q, k, v = _qkv(lp, cfg, x)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -204,8 +217,7 @@ def forward(
         else:
             # memory tokens as extra (non-causal) keys/values, masked out on
             # layers without injection
-            mx = rms_norm(memory_prompt[None], lp["input_layernorm"],
-                          cfg.rms_norm_eps)
+            mx = _norm(memory_prompt[None], lp["input_layernorm"], cfg)
             mq, mk, mv = _qkv(lp, cfg, jnp.broadcast_to(mx, (b,) + mx.shape[1:]))
             mk = apply_rope(mk, mem_cos, mem_sin)
             t_m = mk.shape[1]
@@ -223,8 +235,8 @@ def forward(
         attn = jnp.einsum("bsd,dh->bsh", attn, lp["o_proj"]["kernel"])
         hidden = residual + attn
         residual = hidden
-        x = rms_norm(hidden, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-        hidden = residual + _layer_mlp(lp, x)
+        x = _norm(hidden, lp["post_attention_layernorm"], cfg)
+        hidden = residual + _layer_mlp(lp, x, cfg.mlp_act)
         return hidden, (k, v)
 
     if remat:
@@ -233,7 +245,7 @@ def forward(
     scan_xs = (params["layers"] if memory_prompt is None
                else (params["layers"], inject_flags))
     hidden, (ks, vs) = jax.lax.scan(layer_body, inputs_embeds, scan_xs)
-    hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
+    hidden = _norm(hidden, params["norm"], cfg)
 
     max_len = cache_max_len or s
     if max_len < s:
@@ -268,7 +280,7 @@ def decode_step(
         hidden = carry
         lp, layer_k, layer_v = xs
         residual = hidden
-        x = rms_norm(hidden, lp["input_layernorm"], cfg.rms_norm_eps)
+        x = _norm(hidden, lp["input_layernorm"], cfg)
         q, k, v = _qkv(lp, cfg, x)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -281,12 +293,12 @@ def decode_step(
         attn = jnp.einsum("bsd,dh->bsh", attn, lp["o_proj"]["kernel"])
         hidden = residual + attn
         residual = hidden
-        x = rms_norm(hidden, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-        hidden = residual + _layer_mlp(lp, x)
+        x = _norm(hidden, lp["post_attention_layernorm"], cfg)
+        hidden = residual + _layer_mlp(lp, x, cfg.mlp_act)
         return hidden, (layer_k, layer_v)
 
     hidden, (new_k, new_v) = jax.lax.scan(
         layer_body, token_embeds, (params["layers"], cache.k, cache.v)
     )
-    hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
+    hidden = _norm(hidden, params["norm"], cfg)
     return hidden, KVCache(k=new_k, v=new_v, length=cache.length + 1)

@@ -40,6 +40,11 @@ def lm_config_for(model_type: str, raw: dict) -> LMConfig:
         return LMConfig(attention_bias=True, **base)
     if family in ("llama", "mistral", "mixtral"):
         return LMConfig(attention_bias=False, **base)
+    if family == "gemma":
+        act = (raw.get("hidden_activation") or raw.get("hidden_act")
+               or "gelu_pytorch_tanh")
+        return LMConfig(attention_bias=False, mlp_act=act, norm_plus_one=True,
+                        scale_embeddings=True, **base)
     raise ValueError(f"unsupported model family: {model_type}")
 
 
@@ -49,6 +54,6 @@ AVAILABLE_MODELS = {
     "llava_mistral": "supported",
     "llava_mixtral": "roadmap (MoE)",
     "llava_qwen_moe": "roadmap (MoE)",
-    "llava_gemma": "roadmap",
+    "llava_gemma": "supported",
     "llava_mpt": "roadmap",
 }

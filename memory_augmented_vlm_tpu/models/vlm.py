@@ -348,3 +348,32 @@ def video_qa_embeds(
     before = jnp.asarray(input_ids[:image_pos], jnp.int32)
     after = jnp.asarray(input_ids[image_pos + 1 :], jnp.int32)
     return splice_image_embeds(params, before, visual, after)
+
+
+# ---------------------------------------------------------------------------
+# Dormant faster-video stream (llava_arch.py:201-206,320-322,590-601)
+# ---------------------------------------------------------------------------
+
+def build_faster_video_embeds(
+    params,
+    cfg: VLMConfig,
+    feats_729: jax.Array,     # (F, 729, H) pre-pool projected features
+    faster_token: jax.Array,  # (H,) learnable separator (init_params extra)
+    faster_token_stride: int = 10,
+) -> jax.Array:
+    """`add_faster_video` capability: a second, 2x-coarser pooled stream
+    interleaved with the slow stream per `faster_token_stride`, each frame
+    row terminated by the learnable `faster_token`. Returns (L, H)."""
+    pipe = cfg.pipeline
+    side = cfg.vision.num_patches_per_side
+    slow = spatial_pool_2x2(feats_729, side, mode=pipe.mm_spatial_pool_mode,
+                            stride=pipe.mm_spatial_pool_stride)
+    fast = spatial_pool_2x2(feats_729, side, mode=pipe.mm_spatial_pool_mode,
+                            stride=pipe.mm_spatial_pool_stride * 2)
+    h = slow.shape[-1]
+    tok = faster_token.reshape(1, h).astype(slow.dtype)
+    rows = []
+    for f in range(slow.shape[0]):
+        src = slow[f] if f % faster_token_stride == 0 else fast[f]
+        rows.append(jnp.concatenate([src.reshape(-1, h), tok], axis=0))
+    return jnp.concatenate(rows, axis=0)

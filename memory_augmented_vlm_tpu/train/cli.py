@@ -84,6 +84,8 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="0 = all remaining devices")
     p.add_argument("--mesh_tp", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host pods")
     return p.parse_args(argv)
 
 
@@ -104,6 +106,8 @@ def build_model(args) -> tuple:
 
 
 def train(args) -> Dict[str, float]:
+    if getattr(args, "distributed", False):
+        jax.distributed.initialize()  # env-driven coordinator discovery
     logger = build_logger("train", os.path.join(args.output_dir, "train.log"))
     tokenizer, params, cfg = build_model(args)
     if args.dropout_frames:
