@@ -67,7 +67,8 @@ class MavlmTpu(_LmmsBase):
 
     # -- core answer function (shared by lmms-eval and standalone use) -----
     def answer(self, question: str, visuals=None, modality: str = "video",
-               max_new_tokens: int = 128, temperature: float = 0.0) -> str:
+               max_new_tokens: int = 128, temperature: float = 0.0,
+               until=None) -> str:
         pixels = None
         if visuals is not None:
             frames = np.asarray(visuals)
@@ -91,7 +92,13 @@ class MavlmTpu(_LmmsBase):
             max_new_tokens=max_new_tokens,
             eos_token_id=self.tokenizer.convert_tokens_to_ids("<|im_end|>"),
         )
-        return self.tokenizer.decode(out[0], skip_special_tokens=True).strip()
+        text = self.tokenizer.decode(out[0], skip_special_tokens=True).strip()
+        # keyword stopping (KeywordsStoppingCriteria semantics): truncate at
+        # the first occurrence of any stop string
+        for stop in (until or []):
+            if stop and stop in text:
+                text = text.split(stop)[0]
+        return text.strip()
 
     # -- lmms-eval API ------------------------------------------------------
     def generate_until(self, requests) -> List[str]:
@@ -115,6 +122,7 @@ class MavlmTpu(_LmmsBase):
                 modality=modality,
                 max_new_tokens=gen_kwargs.get("max_new_tokens", 128),
                 temperature=gen_kwargs.get("temperature", 0.0),
+                until=gen_kwargs.get("until"),
             ))
         return results
 

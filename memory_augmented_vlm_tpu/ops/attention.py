@@ -43,8 +43,15 @@ def mha_attention(
     dtype = q.dtype
     d = q.shape[-1]
     scale = scale if scale is not None else d**-0.5
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    logits = logits * scale
+    # Logits accumulate in the input dtype (bf16 on TPU — the class of the
+    # reference's fp16 eager attention and of flash-attn tensor cores; fp32
+    # logits double the HBM traffic of the (B,H,Sq,Sk) tensor). Softmax
+    # statistics stay fp32 below. fp32 inputs keep fp32 logits, so CPU
+    # parity tests are unaffected.
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=dtype if dtype == jnp.bfloat16
+                        else jnp.float32)
+    logits = (logits * scale).astype(jnp.float32)
     if causal:
         sq, sk = q.shape[1], k.shape[1]
         # queries are the last sq positions of the sk-long sequence

@@ -124,8 +124,8 @@ def pallas_flash_attention(
     q_valid_len: Optional[jax.Array] = None,
     kv_valid_len: Optional[jax.Array] = None,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """Forward flash attention; q and k/v sequence lengths may differ
