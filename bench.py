@@ -60,7 +60,7 @@ def build_pipeline(cfg: VLMConfig):
         def body(carry, _):
             logits, cache = carry
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            emb = qwen2.embed_tokens(params["language_model"], tok[:, None]).astype(padded.dtype)
+            emb = qwen2.embed_tokens(params["language_model"], tok[:, None], cfg.lm).astype(padded.dtype)
             hidden, cache = qwen2.decode_step(params["language_model"], cfg.lm, emb, cache)
             logits = qwen2.unembed(params["language_model"], cfg.lm, hidden)[:, 0]
             return (logits, cache), tok

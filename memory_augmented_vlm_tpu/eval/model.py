@@ -109,7 +109,8 @@ class MavlmForCausalLM:
         if images is None or constants.IMAGE_TOKEN_INDEX not in ids:
             embeds = jnp.asarray(
                 vlm.qwen2.embed_tokens(
-                    self.params["language_model"], jnp.asarray(ids, jnp.int32)
+                    self.params["language_model"], jnp.asarray(ids, jnp.int32),
+                    self.cfg.lm,
                 ),
                 self.dtype,
             )
@@ -140,6 +141,7 @@ class MavlmForCausalLM:
                     jnp.asarray(ids[:pos], jnp.int32),
                     visual,
                     jnp.asarray(ids[pos + 1 :], jnp.int32),
+                    self.cfg.lm,
                 )
 
         temp = float(temperature) if do_sample else 0.0

@@ -174,13 +174,37 @@ def k_drop_feature(feats: np.ndarray, max_frames: int,
 
 def k_merge_feature(feats: np.ndarray, max_frames: int,
                     rng: Optional[np.random.Generator] = None, k: int = 2):
-    """Merge within k clusters: like `k_drop` but averages instead of drops."""
+    """Merge within k clusters: cluster first, then average the most-similar
+    adjacent pair inside the largest cluster until the budget holds."""
     rng = rng or np.random.default_rng(0)
     T = feats.shape[0]
     if T <= max_frames:
         return feats, [[[i] for i in range(T)]]
-    out, groups = merge_feature(feats, max_frames)
-    return out, groups
+    X = feats.reshape(T, -1)
+    k = min(k, max_frames)
+    _, labels = _kmeans(X, k, rng)
+    cur = [feats[i].copy() for i in range(T)]
+    cur_idx = [[i] for i in range(T)]
+    cur_lab = list(labels)
+    while len(cur) > max_frames:
+        sizes = [(np.asarray(cur_lab) == j).sum() for j in range(k)]
+        big = int(np.argmax(sizes))
+        members = [i for i, l in enumerate(cur_lab) if l == big]
+        if len(members) < 2:
+            # cluster exhausted; fall back to global adjacent merge
+            members = list(range(len(cur)))
+        best, best_sim = None, -2.0
+        for a, b in zip(members[:-1], members[1:]):
+            sim = _cos(cur[a], cur[b])
+            if sim > best_sim:
+                best_sim, best = sim, (a, b)
+        a, b = best
+        cur[b] = (cur[a] + cur[b]) / 2.0
+        cur_idx[b] = cur_idx[a] + cur_idx[b]
+        del cur[a]
+        del cur_idx[a]
+        del cur_lab[a]
+    return np.stack(cur), [cur_idx]
 
 
 def attention_feature(feats: np.ndarray, max_frames: int,

@@ -151,4 +151,4 @@ def image_qa_embeds(
     pos = int(np.where(input_ids == constants.IMAGE_TOKEN_INDEX)[0][0])
     before = jnp.asarray(input_ids[:pos], jnp.int32)
     after = jnp.asarray(input_ids[pos + 1 :], jnp.int32)
-    return splice_image_embeds(params, before, visual, after)
+    return splice_image_embeds(params, before, visual, after, cfg.lm)

@@ -178,7 +178,9 @@ def forward(
         scaling_type=cfg.rope_scaling_type,
         scaling_factor=cfg.rope_scaling_factor,
         max_position_embeddings=cfg.max_position_embeddings,
-        seq_len=s,
+        # dynamic-NTK basis must agree between prefill and decode: use the
+        # full cache bound when decode will continue from this prefill
+        seq_len=cache_max_len or s,
     )
     cos, sin = rope_cos_sin(positions, inv_freq)
 
@@ -186,25 +188,41 @@ def forward(
         valid_len = jnp.full((b,), s, jnp.int32)
 
     if memory_prompt is not None:
-        t_mem = memory_prompt.shape[0]
-        # dedicated position ids for the memory block (reference gives the
-        # prompt its own positions before the sequence)
-        mem_pos = jnp.arange(t_mem)
-        mem_cos, mem_sin = rope_cos_sin(mem_pos[None], inv_freq)
+        # Per-layer chunking (modeling_qwen2.py:1062-1078): the (T, H) prompt
+        # splits into one chunk per injected layer; memory keys take positions
+        # 0..t_chunk-1 and the sequence's positions shift by +t_chunk on
+        # injected layers; the chunk is prepended RAW (after input_layernorm
+        # already ran on the hidden states), so k/v projections see un-normed
+        # memory tokens.
         n_layers = params["layers"]["input_layernorm"].shape[0]
-        inject_flags = jnp.arange(n_layers) >= (n_layers - memory_prompt_layers)
+        n_inj = min(memory_prompt_layers, n_layers)
+        if n_inj <= 0:
+            memory_prompt = None  # zero injection layers == plain forward
+    if memory_prompt is not None:
+        if memory_prompt.shape[0] % n_inj != 0:
+            raise ValueError(
+                f"memory_prompt length {memory_prompt.shape[0]} must divide "
+                f"into {n_inj} per-layer chunks")
+        t_chunk = memory_prompt.shape[0] // n_inj
+        chunks = memory_prompt.reshape(n_inj, t_chunk, -1)
+        zero_pad = jnp.zeros((n_layers - n_inj, t_chunk, chunks.shape[-1]),
+                             chunks.dtype)
+        layer_chunks = jnp.concatenate([zero_pad, chunks], axis=0)
+        inject_flags = jnp.arange(n_layers) >= (n_layers - n_inj)
+        mem_cos, mem_sin = rope_cos_sin(jnp.arange(t_chunk)[None], inv_freq)
+        cos_shift, sin_shift = rope_cos_sin(positions + t_chunk, inv_freq)
 
     def layer_body(hidden, xs):
         if memory_prompt is None:
             lp = xs
         else:
-            lp, inject = xs
+            lp, inject, mem_chunk = xs
         residual = hidden
         x = _norm(hidden, lp["input_layernorm"], cfg)
-        q, k, v = _qkv(lp, cfg, x)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
         if memory_prompt is None:
+            q, k, v = _qkv(lp, cfg, x)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
             kq = repeat_kv(k, cfg.kv_groups)
             vq = repeat_kv(v, cfg.kv_groups)
             attn = flash_attention(
@@ -215,10 +233,16 @@ def forward(
                 differentiable=differentiable_attention,
             )
         else:
-            # memory tokens as extra (non-causal) keys/values, masked out on
-            # layers without injection
-            mx = _norm(memory_prompt[None], lp["input_layernorm"], cfg)
-            mq, mk, mv = _qkv(lp, cfg, jnp.broadcast_to(mx, (b,) + mx.shape[1:]))
+            # memory chunk as extra (non-causal) keys/values, masked out on
+            # layers without injection; sequence RoPE shifted by +t_chunk on
+            # injected layers per the reference position ids
+            lcos = jnp.where(inject, cos_shift, cos)
+            lsin = jnp.where(inject, sin_shift, sin)
+            q, k, v = _qkv(lp, cfg, x)
+            q = apply_rope(q, lcos, lsin)
+            k = apply_rope(k, lcos, lsin)
+            mq, mk, mv = _qkv(lp, cfg, jnp.broadcast_to(
+                mem_chunk[None], (b,) + mem_chunk.shape))
             mk = apply_rope(mk, mem_cos, mem_sin)
             t_m = mk.shape[1]
             kq = repeat_kv(jnp.concatenate([mk, k], axis=1), cfg.kv_groups)
@@ -243,7 +267,7 @@ def forward(
         layer_body = jax.checkpoint(layer_body, prevent_cse=False)
 
     scan_xs = (params["layers"] if memory_prompt is None
-               else (params["layers"], inject_flags))
+               else (params["layers"], inject_flags, layer_chunks))
     hidden, (ks, vs) = jax.lax.scan(layer_body, inputs_embeds, scan_xs)
     hidden = _norm(hidden, params["norm"], cfg)
 
@@ -272,7 +296,13 @@ def decode_step(
     length+1.
     """
     b = token_embeds.shape[0]
-    inv_freq = compute_rope_freqs(cfg.head_dim, cfg.rope_theta)
+    inv_freq = compute_rope_freqs(
+        cfg.head_dim, cfg.rope_theta,
+        scaling_type=cfg.rope_scaling_type,
+        scaling_factor=cfg.rope_scaling_factor,
+        max_position_embeddings=cfg.max_position_embeddings,
+        seq_len=cache.k.shape[2],  # static cache bound (prefill used seq<=this)
+    )
     pos = cache.length  # (B,) — position of the new token
     cos, sin = rope_cos_sin(pos[:, None], inv_freq)
 

@@ -38,7 +38,10 @@ def lm_config_for(model_type: str, raw: dict) -> LMConfig:
     family = model_type.replace("llava_", "")
     if family in ("qwen", "qwen2", "llava_qwen"):
         return LMConfig(attention_bias=True, **base)
-    if family in ("llama", "mistral", "mixtral"):
+    if family in ("mixtral", "qwen_moe", "qwen2_moe"):
+        raise ValueError(f"{model_type} is MoE — out of scope for v1 "
+                         "(the reference ships these disabled too)")
+    if family in ("llama", "mistral"):
         return LMConfig(attention_bias=False, **base)
     if family == "gemma":
         act = (raw.get("hidden_activation") or raw.get("hidden_act")

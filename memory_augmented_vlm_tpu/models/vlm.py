@@ -74,7 +74,7 @@ def pad_frames_to_segment_multiple(f: int, segment: int = 32) -> int:
 # ---------------------------------------------------------------------------
 
 def init_params(cfg: VLMConfig, key: jax.Array, dtype=jnp.float32):
-    ks = jax.random.split(key, 6)
+    ks = jax.random.split(key, 8)
     h = cfg.lm.hidden_size
     embed_std = 1.0 / np.sqrt(h)
     return {
@@ -91,12 +91,12 @@ def init_params(cfg: VLMConfig, key: jax.Array, dtype=jnp.float32):
                 "fc2": {"kernel": (jax.random.normal(ks[5], (4 * h, h)) * 0.02).astype(dtype),
                         "bias": jnp.zeros((h,), dtype)},
             },
-            "token_type_embedding": (jax.random.normal(ks[4], (2, h)) * 0.02).astype(dtype),
-            "image_newline": (jax.random.normal(ks[5], (h,)) * embed_std).astype(dtype),
+            "token_type_embedding": (jax.random.normal(ks[6], (2, h)) * 0.02).astype(dtype),
+            "image_newline": (jax.random.normal(ks[7], (h,)) * embed_std).astype(dtype),
         },
         "positional_encoding": pe_init(
             cfg.memory.max_temporal_frames, h, cfg.memory.learnable_pe,
-            key=ks[3], dtype=dtype,
+            key=jax.random.fold_in(ks[6], 1), dtype=dtype,
         ),
     }
 
@@ -159,7 +159,7 @@ def build_video_embeds(
     newline = params["memory"]["image_newline"][None, :].astype(mem_tokens.dtype)
 
     lm = params["language_model"]
-    mem_prompt = qwen2.embed_tokens(lm, jnp.asarray(constants.MEMORY_PROMPT_IDS)).astype(mem_tokens.dtype)
+    mem_prompt = qwen2.embed_tokens(lm, jnp.asarray(constants.MEMORY_PROMPT_IDS), cfg.lm).astype(mem_tokens.dtype)
 
     mem_stream = jnp.concatenate(
         [mem_prompt, _merge_frames(cfg, mem_tokens, newline)], axis=0
@@ -169,7 +169,7 @@ def build_video_embeds(
 
     fine = jnp.take(feats, fine_idx, axis=0)  # (nfine, 196, H)
     fine = fine + tte[1][None, None, :]
-    frame_prompt = qwen2.embed_tokens(lm, jnp.asarray(constants.FRAME_PROMPT_IDS)).astype(mem_tokens.dtype)
+    frame_prompt = qwen2.embed_tokens(lm, jnp.asarray(constants.FRAME_PROMPT_IDS), cfg.lm).astype(mem_tokens.dtype)
     fine_stream = jnp.concatenate(
         [frame_prompt, _merge_frames(cfg, fine, newline)], axis=0)
     return jnp.concatenate([mem_stream, fine_stream], axis=0)
@@ -217,12 +217,13 @@ def splice_image_embeds(
     text_ids_before: jax.Array,
     visual: jax.Array,
     text_ids_after: jax.Array,
+    lm_cfg=None,
 ) -> jax.Array:
     """Replace the single <image> sentinel with visual embeddings
     (llava_arch.py:766-815, batch of 1)."""
     lm = params["language_model"]
-    before = qwen2.embed_tokens(lm, text_ids_before).astype(visual.dtype)
-    after = qwen2.embed_tokens(lm, text_ids_after).astype(visual.dtype)
+    before = qwen2.embed_tokens(lm, text_ids_before, lm_cfg).astype(visual.dtype)
+    after = qwen2.embed_tokens(lm, text_ids_after, lm_cfg).astype(visual.dtype)
     return jnp.concatenate([before, visual, after], axis=0)
 
 
@@ -266,7 +267,7 @@ def _prefill_and_decode(
         tok = sample(logits, sub)  # (1,)
         tokens = tokens.at[step].set(tok[0])
         done = jnp.any(tok[0] == eos_ids)
-        emb = qwen2.embed_tokens(lm, tok[:, None]).astype(embeds.dtype)
+        emb = qwen2.embed_tokens(lm, tok[:, None], cfg.lm).astype(embeds.dtype)
         hidden, cache = qwen2.decode_step(lm, cfg.lm, emb, cache)
         logits = qwen2.unembed(lm, cfg.lm, hidden)[:, 0]
         return step + 1, done, logits, cache, tokens, key
@@ -347,7 +348,7 @@ def video_qa_embeds(
     image_pos = int(np.where(input_ids == constants.IMAGE_TOKEN_INDEX)[0][0])
     before = jnp.asarray(input_ids[:image_pos], jnp.int32)
     after = jnp.asarray(input_ids[image_pos + 1 :], jnp.int32)
-    return splice_image_embeds(params, before, visual, after)
+    return splice_image_embeds(params, before, visual, after, cfg.lm)
 
 
 # ---------------------------------------------------------------------------

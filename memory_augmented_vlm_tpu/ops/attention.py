@@ -139,8 +139,7 @@ def flash_attention(
             from memory_augmented_vlm_tpu.ops.pallas_flash import pallas_flash_attention
 
             return pallas_flash_attention(
-                q, k, v, causal=causal, q_valid_len=q_valid_len,
-                kv_valid_len=kv_valid_len, scale=scale,
+                q, k, v, causal=causal, kv_valid_len=kv_valid_len, scale=scale,
             )
         if q.shape[1] % 128 == 0:
             from jax.experimental.pallas.ops.tpu.flash_attention import (

@@ -121,7 +121,6 @@ def pallas_flash_attention(
     v: jax.Array,
     *,
     causal: bool = True,
-    q_valid_len: Optional[jax.Array] = None,
     kv_valid_len: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     block_q: int = 512,

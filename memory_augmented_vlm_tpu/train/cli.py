@@ -110,9 +110,26 @@ def train(args) -> Dict[str, float]:
         jax.distributed.initialize()  # env-driven coordinator discovery
     logger = build_logger("train", os.path.join(args.output_dir, "train.log"))
     tokenizer, params, cfg = build_model(args)
-    if args.dropout_frames:
-        cfg = dataclasses.replace(
-            cfg, pipeline=dataclasses.replace(cfg.pipeline, dropout_frames=True))
+    if not args.version.startswith("qwen"):
+        raise ValueError(
+            f"--version {args.version}: only the qwen ChatML templates are "
+            "wired into dataset preprocessing (preprocess_qwen)")
+    if args.model_name_or_path and args.mm_projector_type != cfg.pipeline.mm_projector_type:
+        raise ValueError(
+            f"--mm_projector_type {args.mm_projector_type} conflicts with the "
+            f"loaded checkpoint's {cfg.pipeline.mm_projector_type}")
+    pipeline = dataclasses.replace(
+        cfg.pipeline,
+        dropout_frames=args.dropout_frames or cfg.pipeline.dropout_frames,
+        mm_spatial_pool_mode=args.mm_spatial_pool_mode,
+        add_time_instruction=args.add_time_instruction,
+        frames_upbound=args.frames_upbound,
+        tokenizer_model_max_length=args.model_max_length,
+    )
+    if not args.model_name_or_path:
+        pipeline = dataclasses.replace(
+            pipeline, mm_projector_type=args.mm_projector_type)
+    cfg = dataclasses.replace(cfg, pipeline=pipeline)
 
     n_dev = len(jax.devices())
     fsdp = args.mesh_fsdp or max(1, n_dev // (args.mesh_data * args.mesh_tp))
@@ -129,11 +146,15 @@ def train(args) -> Dict[str, float]:
             size=(cfg.vision.image_size, cfg.vision.image_size)),
         pipeline=cfg.pipeline,
     )
-    steps_per_epoch = max(1, len(dataset) // max(1, args.per_device_train_batch_size))
+    steps_per_epoch = max(1, len(dataset) // max(
+        1, args.per_device_train_batch_size * args.gradient_accumulation_steps))
     total_steps = (args.max_steps if args.max_steps > 0
                    else int(steps_per_epoch * args.num_train_epochs))
+    # the loop counts micro-steps; MultiSteps applies every k-th
+    total_micro_steps = total_steps * args.gradient_accumulation_steps
     opt_cfg = OptimizerConfig(
         learning_rate=args.learning_rate,
+        grad_accum_steps=args.gradient_accumulation_steps,
         mm_vision_tower_lr=args.mm_vision_tower_lr,
         memory_transformer_lr=args.memory_transformer_lr,
         memory_key_value_lr=args.memory_key_value_lr,
@@ -167,7 +188,7 @@ def train(args) -> Dict[str, float]:
     # otherwise one pass bounded by num_train_epochs
     data_budget = (np.inf if args.max_steps > 0
                    else len(order) * int(np.ceil(args.num_train_epochs)))
-    while step < total_steps and i < data_budget:
+    while step < total_micro_steps and i < data_budget:
         with timer.section("data"):
             sample = dataset[int(order[i % len(order)])]
             i += 1
@@ -198,7 +219,7 @@ def train(args) -> Dict[str, float]:
         last = {k: float(v) for k, v in metrics.items()}
         if step % args.logging_steps == 0:
             metrics_log.log(step, dict(last, **timer.summary()))
-            rank0_print(f"step {step}/{total_steps} loss={last.get('loss', 0):.4f} "
+            rank0_print(f"step {step}/{total_micro_steps} loss={last.get('loss', 0):.4f} "
                         f"gnorm={last.get('grad_norm', 0):.3f} {timer.summary()}")
         if args.save_steps and step % args.save_steps == 0:
             with timer.section("checkpoint"):

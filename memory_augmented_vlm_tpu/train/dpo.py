@@ -84,7 +84,7 @@ def dpo_loss(policy_chosen_lp, policy_rejected_lp, ref_chosen_lp,
 def _forward_response(params, cfg: VLMConfig, visual, ids, labels, image_pos,
                       text_len):
     text_embeds = qwen2.embed_tokens(
-        params["language_model"], jnp.clip(ids, 0)).astype(visual.dtype)
+        params["language_model"], jnp.clip(ids, 0), cfg.lm).astype(visual.dtype)
     embeds, lab = trainer_mod._splice_batched(
         text_embeds, visual, image_pos, labels, constants.IGNORE_INDEX)
     valid_len = text_len + visual.shape[1]

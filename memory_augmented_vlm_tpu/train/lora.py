@@ -35,11 +35,7 @@ class LoraConfig:
         return self.alpha / self.r
 
 
-def _path_str(path) -> str:
-    parts = []
-    for p in path:
-        parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
-    return ".".join(parts)
+from memory_augmented_vlm_tpu.utils.tree import path_str as _path_str
 
 
 def _is_target(path, leaf, cfg: LoraConfig) -> bool:

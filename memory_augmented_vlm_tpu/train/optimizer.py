@@ -42,18 +42,10 @@ class OptimizerConfig:
     total_steps: int = 1000
     schedule: str = "cosine"             # cosine | constant (HF lr_scheduler_type)
     mm_tunable_parts: str = "larimar_model,recurrent_model,mm_language_model"
+    grad_accum_steps: int = 1            # gradient_accumulation_steps
 
 
-def _path_str(path) -> str:
-    parts = []
-    for p in path:
-        if hasattr(p, "key"):
-            parts.append(str(p.key))
-        elif hasattr(p, "idx"):
-            parts.append(str(p.idx))
-        else:
-            parts.append(str(p))
-    return ".".join(parts)
+from memory_augmented_vlm_tpu.utils.tree import path_str as _path_str
 
 
 TUNABLE_PART_PREFIXES = {
@@ -159,4 +151,10 @@ def build_optimizer(params: Any, cfg: OptimizerConfig) -> optax.GradientTransfor
     mask = trainable_mask(params, cfg.mm_tunable_parts)
     frozen = optax.masked(optax.set_to_zero(), jax.tree.map(lambda t: not t, mask))
     chain = [optax.clip_by_global_norm(cfg.max_grad_norm)] if cfg.max_grad_norm else []
-    return optax.chain(*chain, opt, frozen)
+    tx = optax.chain(*chain, opt, frozen)
+    if cfg.grad_accum_steps > 1:
+        # gradient accumulation (the reference's HF Trainer
+        # gradient_accumulation_steps): average grads over k micro-steps,
+        # apply the inner update every k-th
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx

@@ -176,7 +176,7 @@ def multimodal_loss(params, cfg: VLMConfig, batch: TrainBatch, *,
     )  # (B, Lvis, H)
 
     text_embeds = qwen2.embed_tokens(
-        params["language_model"], jnp.clip(batch.input_ids, 0)
+        params["language_model"], jnp.clip(batch.input_ids, 0), cfg.lm
     ).astype(visual.dtype)
     embeds, labels = _splice_batched(
         text_embeds, visual, batch.image_pos, batch.labels, constants.IGNORE_INDEX

@@ -46,6 +46,7 @@ def test_train_loop_end_to_end(data_dir, monkeypatch):
         "--video_folder", str(data_dir / "videos"),
         "--output_dir", out_dir,
         "--max_steps", "2",
+        "--gradient_accumulation_steps", "1",
         "--per_device_train_batch_size", "2",
         "--save_steps", "1",
         "--learning_rate", "1e-3",

@@ -125,3 +125,22 @@ def test_chunked_ce_matches_dense():
             n += 1
     assert int(cnt) == n
     np.testing.assert_allclose(float(loss), tot / n, rtol=1e-4)
+
+
+def test_gradient_accumulation_semantics(setup):
+    """grad_accum_steps=k: params move only on every k-th micro-step."""
+    import dataclasses
+
+    params, opt_cfg = setup
+    opt_cfg2 = dataclasses.replace(opt_cfg, grad_accum_steps=2)
+    rng = np.random.default_rng(5)
+    batch = _make_batch(rng)
+    state = trainer.init_train_state(params, opt_cfg2)
+    step_fn = jax.jit(trainer.make_train_step(TINY, opt_cfg2, nseg=1))
+    before = np.asarray(jax.tree.leaves(params["memory"]["memory_fuser"])[0])
+    state, _ = step_fn(state, batch)
+    mid = np.asarray(jax.tree.leaves(state.params["memory"]["memory_fuser"])[0])
+    np.testing.assert_array_equal(before, mid)  # accumulated, not applied
+    state, _ = step_fn(state, batch)
+    after = np.asarray(jax.tree.leaves(state.params["memory"]["memory_fuser"])[0])
+    assert not np.allclose(before, after)  # applied on the 2nd micro-step
