@@ -45,10 +45,21 @@ def build_vision_tower(vision_tower_name: str, *, s2: bool = False,
             num_patches_per_side=cfg.num_patches_per_side,
             image_size=cfg.image_size,
         )
-    if ("open_clip" in name or "imagebind" in name or "mlcd" in name
-            or name.startswith("hf:")):
+    if "mlcd" in name:
+        from memory_augmented_vlm_tpu.models import mlcd as mlcd_mod
+
+        cfg = vision_config or mlcd_mod.MLCDVisionConfig()
+        return VisionTower(
+            family="mlcd",
+            config=cfg,
+            forward=lambda params, pixels: mlcd_mod.forward(params, cfg, pixels),
+            hidden_size=cfg.hidden_size,
+            num_patches_per_side=cfg.num_patches_per_side,
+            image_size=cfg.image_size,
+        )
+    if ("open_clip" in name or "imagebind" in name or name.startswith("hf:")):
         raise ValueError(f"Unknown vision tower: {vision_tower_name} "
-                         "(mlcd/hf:/open_clip/imagebind are roadmap items)")
+                         "(hf:/open_clip/imagebind are roadmap items)")
     if "clip" in name or "openai" in name or "laion" in name or name.startswith("/"):
         cfg = vision_config or clip_mod.CLIPVisionConfig()
         fwd = (

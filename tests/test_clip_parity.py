@@ -59,7 +59,8 @@ def test_registry_selection():
     assert t2.family == "clip" and t2.hidden_size == 1024
     t3 = build_vision_tower("openai/clip-vit-large-patch14-336", s2=True)
     assert t3.family == "clip_s2" and t3.hidden_size == 3072
-    for name in ("imagebind_huge", "open_clip_hub:ViT-H", "hf:facebook/dinov2",
-                 "mlcd-vit-bigG-patch14"):
+    t4 = build_vision_tower("mlcd-vit-bigG-patch14")
+    assert t4.family == "mlcd" and t4.hidden_size == 1664
+    for name in ("imagebind_huge", "open_clip_hub:ViT-H", "hf:facebook/dinov2"):
         with pytest.raises(ValueError):
             build_vision_tower(name)
