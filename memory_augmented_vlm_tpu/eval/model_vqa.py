@@ -10,6 +10,8 @@ import argparse
 import json
 import math
 import os
+import threading
+from queue import Queue
 from typing import List
 
 import numpy as np
@@ -55,28 +57,56 @@ def main(argv=None):
                           args.num_chunks, args.chunk_idx)
     os.makedirs(os.path.dirname(os.path.abspath(args.answers_file)), exist_ok=True)
 
-    with open(args.answers_file, "w") as ans_file:
+    def preprocess_question(q):
+        """Host-side media decode+preprocess (runs on the prefetch thread so
+        the vision tower never starves the LM — SURVEY.md §7 pipelining)."""
+        text = q.get("text", q.get("question", ""))
+        pixels, modality = None, "text"
+        if q.get("video"):
+            from memory_augmented_vlm_tpu.data.video import load_video
+
+            frames, *_ = load_video(os.path.join(args.video_folder, q["video"]))
+            if frames.shape[0] > args.max_frames_num:
+                idx = np.linspace(0, frames.shape[0] - 1,
+                                  args.max_frames_num).astype(int)
+                frames = frames[idx]
+            pixels = image_processor.preprocess(frames)
+            modality = "video"
+        elif q.get("image"):
+            from PIL import Image
+
+            pixels = image_processor.preprocess(
+                Image.open(os.path.join(args.image_folder, q["image"])))
+            modality = "image"
+        if pixels is not None and constants.DEFAULT_IMAGE_TOKEN not in text:
+            text = constants.DEFAULT_IMAGE_TOKEN + "\n" + text
+        return q, text, pixels, modality
+
+    # double-buffered prefetch: decode/preprocess question i+1 on a thread
+    # while the device generates for question i
+    queue: Queue = Queue(maxsize=2)
+
+    def producer():
         for q in questions:
-            text = q.get("text", q.get("question", ""))
-            pixels, modality = None, "text"
-            if q.get("video"):
-                from memory_augmented_vlm_tpu.data.video import load_video
+            try:
+                queue.put(preprocess_question(q))
+            except Exception as e:  # noqa: BLE001 — surface per-sample errors
+                queue.put((q, f"__error__: {e}", None, "text"))
+        queue.put(None)
 
-                frames, *_ = load_video(os.path.join(args.video_folder, q["video"]))
-                if frames.shape[0] > args.max_frames_num:
-                    idx = np.linspace(0, frames.shape[0] - 1,
-                                      args.max_frames_num).astype(int)
-                    frames = frames[idx]
-                pixels = image_processor.preprocess(frames)
-                modality = "video"
-            elif q.get("image"):
-                from PIL import Image
+    threading.Thread(target=producer, daemon=True).start()
 
-                pixels = image_processor.preprocess(
-                    Image.open(os.path.join(args.image_folder, q["image"])))
-                modality = "image"
-            if pixels is not None and constants.DEFAULT_IMAGE_TOKEN not in text:
-                text = constants.DEFAULT_IMAGE_TOKEN + "\n" + text
+    with open(args.answers_file, "w") as ans_file:
+        while True:
+            item = queue.get()
+            if item is None:
+                break
+            q, text, pixels, modality = item
+            if text.startswith("__error__"):
+                ans_file.write(json.dumps({
+                    "question_id": q.get("question_id", q.get("id")),
+                    "text": "", "error": text}) + "\n")
+                continue
 
             conv = conv_templates[args.conv_mode].copy()
             conv.append_message(conv.roles[0], text)
