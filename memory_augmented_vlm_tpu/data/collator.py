@@ -94,6 +94,27 @@ def collate_video_batch(
     return batch
 
 
+def collate_text_batch(
+    samples: List[Dict[str, Any]],
+    text_buckets: Sequence[int] = (128, 256, 512, 1024, 2048),
+    pad_token_id: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Collate text-only samples (no media) into TextBatch arrays."""
+    st_all = _text_bucket(max(len(s["input_ids"]) for s in samples), text_buckets)
+    b = len(samples)
+    batch = dict(
+        input_ids=np.full((b, st_all), pad_token_id, np.int32),
+        labels=np.full((b, st_all), constants.IGNORE_INDEX, np.int32),
+        text_len=np.zeros((b,), np.int32),
+    )
+    for i, s in enumerate(samples):
+        st = min(len(s["input_ids"]), st_all)
+        batch["input_ids"][i, :st] = s["input_ids"][:st]
+        batch["labels"][i, :st] = s["labels"][:st]
+        batch["text_len"][i] = st
+    return batch
+
+
 def bucket_key(sample: Dict[str, Any], memory_cfg: MemoryConfig,
                text_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)) -> Tuple:
     """Group samples so each batch shares one compiled train step."""

@@ -192,26 +192,37 @@ def train(args) -> Dict[str, float]:
         with timer.section("data"):
             sample = dataset[int(order[i % len(order)])]
             i += 1
-            if "pixels" not in sample:
-                continue  # text-only batches handled by a separate bucket later
             key = collator_mod.bucket_key(sample, cfg.memory)
             queues[key].append(sample)
             if len(queues[key]) < bsz:
                 continue
             samples = queues.pop(key)
-            np_batch = collator_mod.collate_video_batch(samples, cfg.memory)
-            batch = trainer_mod.TrainBatch(**{
-                k: jnp.asarray(v) for k, v in np_batch.items()})
-            nseg = min(np_batch["pixels"].shape[1] // cfg.memory.segment_frames,
-                       cfg.memory.cache_cap)
-            drop = (cfg.pipeline.dropout_frames
-                    and trainer_mod.synced_frame_dropout(step))
+            if key[0] == "text":
+                np_batch = collator_mod.collate_text_batch(samples)
+                batch = trainer_mod.TextBatch(**{
+                    k: jnp.asarray(v) for k, v in np_batch.items()})
+                nseg, drop = 0, False
+            else:
+                np_batch = collator_mod.collate_video_batch(samples, cfg.memory)
+                batch = trainer_mod.TrainBatch(**{
+                    k: jnp.asarray(v) for k, v in np_batch.items()})
+                nseg = min(np_batch["pixels"].shape[1] // cfg.memory.segment_frames,
+                           cfg.memory.cache_cap)
+                drop = (cfg.pipeline.dropout_frames
+                        and trainer_mod.synced_frame_dropout(step))
         fn_key = (key, nseg, drop)
         if fn_key not in step_fns:
-            step_fns[fn_key] = jax.jit(
-                trainer_mod.make_train_step(cfg, opt_cfg, nseg=nseg, drop_frames=drop),
-                donate_argnums=(0,),
-            )
+            if key[0] == "text":
+                step_fns[fn_key] = jax.jit(
+                    trainer_mod.make_text_train_step(cfg, opt_cfg),
+                    donate_argnums=(0,),
+                )
+            else:
+                step_fns[fn_key] = jax.jit(
+                    trainer_mod.make_train_step(cfg, opt_cfg, nseg=nseg,
+                                                drop_frames=drop),
+                    donate_argnums=(0,),
+                )
         with timer.section("step"):
             state, metrics = step_fns[fn_key](state, batch)
             jax.block_until_ready(metrics["loss"])

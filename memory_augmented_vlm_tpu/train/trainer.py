@@ -197,6 +197,45 @@ def multimodal_loss(params, cfg: VLMConfig, batch: TrainBatch, *,
     return loss, {"loss": loss, "target_tokens": count}
 
 
+class TextBatch(NamedTuple):
+    """Text-only batch (the reference's language-data mixing; modality
+    grouping keeps these out of video batches)."""
+
+    input_ids: jax.Array  # (B, St)
+    labels: jax.Array     # (B, St)
+    text_len: jax.Array   # (B,)
+
+
+def text_loss(params, cfg: VLMConfig, batch: TextBatch):
+    embeds = qwen2.embed_tokens(
+        params["language_model"], jnp.clip(batch.input_ids, 0), cfg.lm
+    )
+    if cfg.lm.dtype == "bfloat16":
+        embeds = embeds.astype(jnp.bfloat16)
+    positions = jnp.broadcast_to(jnp.arange(embeds.shape[1])[None], embeds.shape[:2])
+    hidden, _ = qwen2.forward(
+        params["language_model"], cfg.lm, embeds, positions,
+        valid_len=batch.text_len, remat=True, differentiable_attention=True)
+    loss, count = cross_entropy(params, cfg, hidden, batch.labels, batch.text_len)
+    return loss, {"loss": loss, "target_tokens": count}
+
+
+def make_text_train_step(cfg: VLMConfig, opt_cfg: OptimizerConfig):
+    def train_step(state: "TrainState", batch: TextBatch):
+        def loss_fn(params):
+            return text_loss(params, cfg, batch)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        optimizer = build_optimizer(state.params, opt_cfg)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u.astype(p.dtype),
+                                  state.params, updates)
+        metrics = dict(metrics, grad_norm=optax.global_norm(grads))
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    return train_step
+
+
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any

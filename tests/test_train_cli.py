@@ -61,3 +61,37 @@ def test_train_loop_end_to_end(data_dir, monkeypatch):
     # auto-resume: running again starts from step 2 and stops immediately
     last2 = cli.train(args)
     assert last2 == {} or np.isfinite(last2.get("loss", 0.0))
+
+
+def test_train_loop_mixed_modalities(data_dir, monkeypatch, tmp_path):
+    """Text-only samples train through the text step (not skipped)."""
+    import json as _json
+
+    items = _json.loads((data_dir / "data.json").read_text())
+    items.append({"id": 100, "conversations": [
+        {"from": "human", "value": "just text"},
+        {"from": "gpt", "value": "sure thing here"}]})
+    items.append({"id": 101, "conversations": [
+        {"from": "human", "value": "more text"},
+        {"from": "gpt", "value": "yes indeed friend"}]})
+    mixed = tmp_path / "mixed.json"
+    mixed.write_text(_json.dumps(items))
+    monkeypatch.setattr(
+        cli, "build_model",
+        lambda args: (FakeTokenizer(), vlm.init_params(TINY, jax.random.key(0)), TINY),
+    )
+    out_dir = str(tmp_path / "out")
+    args = cli.parse_args([
+        "--data_path", str(mixed),
+        "--video_folder", str(data_dir / "videos"),
+        "--output_dir", out_dir,
+        "--max_steps", "3",
+        "--gradient_accumulation_steps", "1",
+        "--per_device_train_batch_size", "2",
+        "--save_steps", "100",
+        "--learning_rate", "1e-3",
+        "--mesh_fsdp", "1",
+        "--seed", "7",
+    ])
+    last = cli.train(args)
+    assert np.isfinite(last["loss"])
