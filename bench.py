@@ -113,4 +113,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the remote-compile relay occasionally drops a request; one retry keeps
+    # the driver's end-of-round bench record intact
+    import sys
+    import traceback
+
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception:  # noqa: BLE001
+            if attempt == 2:
+                raise
+            traceback.print_exc(file=sys.stderr)
+            time.sleep(10)
