@@ -156,6 +156,7 @@ class LazySupervisedDataset:
         video_folder: Optional[str] = None,
         image_processor: Optional[SigLipImageProcessor] = None,
         pipeline: Optional[PipelineConfig] = None,
+        conv_version: str = "qwen_1_5",
     ):
         self.items = load_data_manifest(data_path)
         self.tokenizer = tokenizer
@@ -163,6 +164,11 @@ class LazySupervisedDataset:
         self.video_folder = video_folder
         self.image_processor = image_processor or SigLipImageProcessor()
         self.pipeline = pipeline or PipelineConfig()
+        if conv_version not in PREPROCESS_FUNCS:
+            raise ValueError(
+                f"Unknown conversation version {conv_version!r}; "
+                f"available: {sorted(PREPROCESS_FUNCS)}")
+        self.preprocess_fn = PREPROCESS_FUNCS[conv_version]
 
     def __len__(self) -> int:
         return len(self.items)
@@ -223,7 +229,7 @@ class LazySupervisedDataset:
         else:
             out["modality"] = "text"
 
-        enc = preprocess_qwen(convs, self.tokenizer)
+        enc = self.preprocess_fn(convs, self.tokenizer)
         out.update(enc)
         return out
 
@@ -243,3 +249,112 @@ class LazySupervisedDataset:
             except Exception as e:  # noqa: BLE001
                 last_err = e
         raise RuntimeError(f"failed to load sample {i} and 3 successors") from last_err
+
+
+def preprocess_plain(conversations, tokenizer) -> Dict[str, np.ndarray]:
+    """Pretraining-style plain captioning (train.py preprocess_plain): input
+    is `<image>\\n` + caption; only the caption is supervised."""
+    assert len(conversations) == 2
+    caption = conversations[1].get("value", conversations[1].get("content", ""))
+    ids: List[int] = [constants.IMAGE_TOKEN_INDEX]
+    nl = tokenizer("\n", add_special_tokens=False).input_ids
+    cap_ids = tokenizer(caption, add_special_tokens=False).input_ids
+    input_id = ids + nl + cap_ids
+    target = [constants.IGNORE_INDEX] * (1 + len(nl)) + list(cap_ids)
+    return {"input_ids": np.asarray(input_id, np.int64),
+            "labels": np.asarray(target, np.int64)}
+
+
+def preprocess_llama3(
+    conversations, tokenizer,
+    system_message: str = "You are a helpful language and vision assistant.",
+) -> Dict[str, np.ndarray]:
+    """Llama-3 header-block format (train.py preprocess_llama3 semantics):
+    <|start_header_id|>role<|end_header_id|>\\n\\n content <|eot_id|>, user and
+    system turns masked, structure tokens unmasked."""
+    roles = {"human": "user", "gpt": "assistant"}
+    sh = tokenizer.convert_tokens_to_ids("<|start_header_id|>")
+    eh = tokenizer.convert_tokens_to_ids("<|end_header_id|>")
+    eot = tokenizer.convert_tokens_to_ids("<|eot_id|>")
+    bos = tokenizer.convert_tokens_to_ids("<|begin_of_text|>")
+    unmask = {sh, eh, eot, bos}
+    nl2 = tokenizer("\n\n", add_special_tokens=False).input_ids
+
+    def block(role: str, content: str, mask: bool):
+        ids = [sh] + tokenizer(role, add_special_tokens=False).input_ids + [eh] + nl2
+        body: List[int] = []
+        pieces = content.split(constants.DEFAULT_IMAGE_TOKEN)
+        for i, piece in enumerate(pieces):
+            body += tokenizer(piece, add_special_tokens=False).input_ids
+            if i < len(pieces) - 1:
+                body.append(constants.IMAGE_TOKEN_INDEX)
+        ids += body + [eot]
+        tgt = ([constants.IGNORE_INDEX] * len(ids)) if mask else list(ids)
+        return ids, tgt
+
+    input_id: List[int] = [bos]
+    target: List[int] = [constants.IGNORE_INDEX]
+    ids, tgt = block("system", system_message, mask=True)
+    input_id += ids
+    target += tgt
+    for conv in conversations:
+        role = roles.get(conv.get("from", conv.get("role")), "user")
+        content = conv.get("value", conv.get("content", ""))
+        ids, tgt = block(role, content, mask=role != "assistant")
+        input_id += ids
+        target += tgt
+    target = [tid if tid in unmask else t for tid, t in zip(input_id, target)]
+    return {"input_ids": np.asarray(input_id, np.int64),
+            "labels": np.asarray(target, np.int64)}
+
+
+def preprocess_v1(
+    conversations, tokenizer,
+    system_message: str = (
+        "A chat between a curious human and an artificial intelligence assistant. "
+        "The assistant gives helpful, detailed, and polite answers to the human's questions."
+    ),
+) -> Dict[str, np.ndarray]:
+    """Vicuna v1 (TWO separator style, train.py preprocess_v1 semantics):
+    `system USER: x ASSISTANT: y</s>`; everything except assistant replies
+    masked."""
+    roles = {"human": "USER", "gpt": "ASSISTANT"}
+    eos = getattr(tokenizer, "eos_token_id", None)
+    input_id: List[int] = list(
+        tokenizer(system_message + " ", add_special_tokens=False).input_ids)
+    target: List[int] = [constants.IGNORE_INDEX] * len(input_id)
+    for conv in conversations:
+        role = roles.get(conv.get("from", conv.get("role")), "USER")
+        content = conv.get("value", conv.get("content", ""))
+        if role == "USER":
+            ids: List[int] = []
+            pieces = content.split(constants.DEFAULT_IMAGE_TOKEN)
+            for i, piece in enumerate(pieces):
+                ids += tokenizer(f"USER: {piece} " if i == 0 else piece,
+                                 add_special_tokens=False).input_ids
+                if i < len(pieces) - 1:
+                    ids.append(constants.IMAGE_TOKEN_INDEX)
+            input_id += ids
+            target += [constants.IGNORE_INDEX] * len(ids)
+        else:
+            prefix = tokenizer("ASSISTANT: ", add_special_tokens=False).input_ids
+            body = tokenizer(content, add_special_tokens=False).input_ids
+            input_id += prefix + body
+            target += [constants.IGNORE_INDEX] * len(prefix) + list(body)
+            if eos is not None:
+                input_id.append(eos)
+                target.append(eos)
+    return {"input_ids": np.asarray(input_id, np.int64),
+            "labels": np.asarray(target, np.int64)}
+
+
+PREPROCESS_FUNCS = {
+    "qwen_1_5": preprocess_qwen,
+    "qwen_2": preprocess_qwen,
+    "plain": preprocess_plain,
+    "llava_plain": preprocess_plain,
+    "llava_llama_3": preprocess_llama3,
+    "llama3": preprocess_llama3,
+    "v1": preprocess_v1,
+    "vicuna_v1": preprocess_v1,
+}

@@ -6,15 +6,23 @@ per-batch valid-length masking (right-padded bucketed sequences). Statistics
 (m, l, acc) accumulate in fp32 VMEM scratch; QK^T and PV run on the MXU with
 fp32 accumulation. Layout: (B, H, S, D) blocks of (block_q x block_k).
 
-The training path uses the differentiable in-tree kernel
-(jax.experimental.pallas.ops.tpu.flash_attention) via `ops.attention`; this
-kernel is forward-only and tuned for single-batch long-prefill latency.
+The kernel itself is forward-only and tuned for single-batch long-prefill
+latency, but the public wrapper carries a `jax.custom_vjp` whose backward
+recomputes the exact same attention math in XLA — so differentiated callers
+(the trainable memory fuser, DPO fusion) get correct gradients at the cost of
+materializing the (B, H, Sq, Skv) fp32 logits in the backward. That is fine
+for the memory module's moderate cross-attention shapes; the LM
+self-attention *training* path instead uses the in-tree differentiable flash
+kernel (jax.experimental.pallas.ops.tpu.flash_attention) via `ops.attention`,
+which has a proper tiled backward.
 """
 
 from __future__ import annotations
 
 import functools
 from typing import Optional
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -112,33 +120,10 @@ def _flash_fwd_kernel(
         o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("causal", "scale", "block_q", "block_k", "interpret")
-)
-def pallas_flash_attention(
-    q: jax.Array,  # (B, S, H, D)
-    k: jax.Array,
-    v: jax.Array,
-    *,
-    causal: bool = True,
-    kv_valid_len: Optional[jax.Array] = None,
-    scale: Optional[float] = None,
-    block_q: int = 512,
-    block_k: int = 1024,
-    interpret: bool = False,
-) -> jax.Array:
-    """Forward flash attention; q and k/v sequence lengths may differ
-    (cross-attention). Sequences are padded to block multiples internally;
-    `causal` assumes q and kv share one timeline (self-attention)."""
+def _pallas_forward(q, k, v, kv_valid_len, causal, scale, block_q, block_k,
+                    interpret):
     b, sq, h, d = q.shape
     skv = k.shape[1]
-    if causal and sq != skv:
-        raise ValueError("causal flash attention requires equal q/kv lengths")
-    scale = scale if scale is not None else d**-0.5
-    if kv_valid_len is None:
-        kv_valid_len = jnp.full((b,), skv, jnp.int32)
-    kv_valid_len = kv_valid_len.astype(jnp.int32)
-
     block_q = min(block_q, max(sq, 128))
     block_k = min(block_k, max(skv, 128))
     sq_pad = ((sq + block_q - 1) // block_q) * block_q
@@ -190,3 +175,72 @@ def pallas_flash_attention(
     if sq_pad != sq:
         out = out[:, :sq]
     return out
+
+
+def _xla_attention(q, k, v, kv_valid_len, causal, scale):
+    """Exact XLA restatement of the kernel's math (fp32 logits + softmax,
+    prefix valid-length mask, optional causal mask) — used only to derive the
+    backward pass of `pallas_flash_attention`."""
+    sq, skv = q.shape[1], k.shape[1]
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    col = jnp.arange(skv)[None, None, None, :]
+    mask = col < kv_valid_len[:, None, None, None]
+    if causal:
+        mask = jnp.logical_and(mask, col <= jnp.arange(sq)[None, None, :, None])
+    logits = jnp.where(mask, logits, MASK_VALUE)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash(static, q, k, v, kv_valid_len):
+    return _pallas_forward(q, k, v, kv_valid_len, *static)
+
+
+def _flash_fwd(static, q, k, v, kv_valid_len):
+    return _flash(static, q, k, v, kv_valid_len), (q, k, v, kv_valid_len)
+
+
+def _flash_bwd(static, res, g):
+    causal, scale = static[0], static[1]
+    q, k, v, kv_valid_len = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _xla_attention(q, k, v, kv_valid_len, causal, scale),
+        q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, np.zeros(kv_valid_len.shape, jax.dtypes.float0)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "scale", "block_q", "block_k", "interpret")
+)
+def pallas_flash_attention(
+    q: jax.Array,  # (B, S, H, D)
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    kv_valid_len: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention; q and k/v sequence lengths may differ
+    (cross-attention). Sequences are padded to block multiples internally;
+    `causal` assumes q and kv share one timeline (self-attention).
+    Differentiable: the backward recomputes via XLA (see module docstring)."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    if causal and sq != skv:
+        raise ValueError("causal flash attention requires equal q/kv lengths")
+    scale = scale if scale is not None else d**-0.5
+    if kv_valid_len is None:
+        kv_valid_len = jnp.full((b,), skv, jnp.int32)
+    kv_valid_len = kv_valid_len.astype(jnp.int32)
+    return _flash((causal, scale, block_q, block_k, interpret),
+                  q, k, v, kv_valid_len)

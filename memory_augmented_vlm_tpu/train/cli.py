@@ -110,10 +110,12 @@ def train(args) -> Dict[str, float]:
         jax.distributed.initialize()  # env-driven coordinator discovery
     logger = build_logger("train", os.path.join(args.output_dir, "train.log"))
     tokenizer, params, cfg = build_model(args)
-    if not args.version.startswith("qwen"):
+    from memory_augmented_vlm_tpu.data.dataset import PREPROCESS_FUNCS
+
+    if args.version not in PREPROCESS_FUNCS:
         raise ValueError(
-            f"--version {args.version}: only the qwen ChatML templates are "
-            "wired into dataset preprocessing (preprocess_qwen)")
+            f"--version {args.version}: available conversation templates: "
+            f"{sorted(PREPROCESS_FUNCS)}")
     if args.model_name_or_path and args.mm_projector_type != cfg.pipeline.mm_projector_type:
         raise ValueError(
             f"--mm_projector_type {args.mm_projector_type} conflicts with the "
@@ -145,6 +147,7 @@ def train(args) -> Dict[str, float]:
         image_processor=SigLipImageProcessor(
             size=(cfg.vision.image_size, cfg.vision.image_size)),
         pipeline=cfg.pipeline,
+        conv_version=args.version,
     )
     steps_per_epoch = max(1, len(dataset) // max(
         1, args.per_device_train_batch_size * args.gradient_accumulation_steps))

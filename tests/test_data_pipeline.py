@@ -194,3 +194,53 @@ def test_orbax_save_restore(tmp_path):
     )
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_preprocess_plain():
+    tok = FakeTokenizer()
+    enc = dataset.preprocess_plain(
+        [{"from": "human", "value": "<image>"}, {"from": "gpt", "value": "a cat photo"}],
+        tok)
+    ids, labels = enc["input_ids"], enc["labels"]
+    assert ids[0] == constants.IMAGE_TOKEN_INDEX
+    assert labels[0] == constants.IGNORE_INDEX
+    cat_id = tok._id("cat")
+    assert labels[np.where(ids == cat_id)[0][0]] == cat_id
+
+
+def test_preprocess_v1_masks_user():
+    tok = FakeTokenizer()
+    tok.eos_token_id = 9
+    enc = dataset.preprocess_v1(
+        [{"from": "human", "value": "see <image> now"},
+         {"from": "gpt", "value": "I see a dog"}], tok)
+    ids, labels = enc["input_ids"], enc["labels"]
+    assert (ids == constants.IMAGE_TOKEN_INDEX).sum() == 1
+    dog_id = tok._id("dog")
+    assert labels[np.where(ids == dog_id)[0][0]] == dog_id
+    see_user = tok._id("see")
+    assert labels[np.where(ids == see_user)[0][0]] == constants.IGNORE_INDEX
+    assert ids[-1] == 9 and labels[-1] == 9  # eos supervised
+
+
+def test_preprocess_llama3_structure():
+    class L3Tok(FakeTokenizer):
+        SPECIALS = dict(FakeTokenizer.SPECIALS)
+        SPECIALS.update({"<|start_header_id|>": 4, "<|end_header_id|>": 5,
+                         "<|eot_id|>": 6, "<|begin_of_text|>": 7})
+
+    tok = L3Tok()
+    enc = dataset.preprocess_llama3(
+        [{"from": "human", "value": "what is <image> ?"},
+         {"from": "gpt", "value": "an answer"}], tok)
+    ids, labels = enc["input_ids"], enc["labels"]
+    assert ids[0] == 7  # bos
+    assert (ids == constants.IMAGE_TOKEN_INDEX).sum() == 1
+    ans_id = tok._id("answer")
+    assert labels[np.where(ids == ans_id)[0][0]] == ans_id
+    what_id = tok._id("what")
+    assert labels[np.where(ids == what_id)[0][0]] == constants.IGNORE_INDEX
+    # structure tokens unmasked
+    for sid in (4, 5, 6):
+        for posn in np.where(ids == sid)[0]:
+            assert labels[posn] == sid

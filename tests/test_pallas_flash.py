@@ -68,7 +68,7 @@ def test_memory_attention_flash_path_semantics(monkeypatch):
                          kv_mask=(jnp.arange(256) < 200)[None])
 
     monkeypatch.setattr(jmem.jax, "default_backend", lambda: "tpu")
-    orig = pallas_flash.pallas_flash_attention
+    orig = pallas_flash_attention
 
     def interp(*a, **kw):
         kw["interpret"] = True
@@ -77,3 +77,32 @@ def test_memory_attention_flash_path_semantics(monkeypatch):
     monkeypatch.setattr(pallas_flash, "pallas_flash_attention", interp)
     got = jmem.attention(p, cfg, q_in, kv_in, kv_valid_len=vl)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_flash_gradients_match_reference():
+    """custom_vjp backward (XLA recompute) vs autodiff through reference math
+    — this is the path the trainable memory fuser differentiates on TPU."""
+    rng = np.random.default_rng(7)
+    b, sq, skv, h, d = 2, 128, 256, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+    vl = jnp.asarray([200, 256], jnp.int32)
+    g = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = pallas_flash_attention(
+            q, k, v, causal=False, kv_valid_len=vl, interpret=True,
+            block_q=128, block_k=128)
+        return jnp.vdot(out, g)
+
+    def loss_ref(q, k, v):
+        mask = jnp.arange(skv)[None, None, None, :] < vl[:, None, None, None]
+        return jnp.vdot(
+            mha_attention(q, k, v, mask=mask, causal=False), g)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
