@@ -348,6 +348,84 @@ def preprocess_v1(
             "labels": np.asarray(target, np.int64)}
 
 
+def preprocess_gemma(conversations, tokenizer) -> Dict[str, np.ndarray]:
+    """Gemma turn format (train.py preprocess_gemma semantics):
+    <start_of_turn>role\n content <end_of_turn>\n per turn, model turns
+    supervised (including the closing <end_of_turn>)."""
+    roles = {"human": "user", "gpt": "model"}
+    sot = tokenizer.convert_tokens_to_ids("<start_of_turn>")
+    eot = tokenizer.convert_tokens_to_ids("<end_of_turn>")
+    bos = getattr(tokenizer, "bos_token_id", None)
+    nl = tokenizer("\n", add_special_tokens=False).input_ids
+
+    input_id: List[int] = [] if bos is None else [bos]
+    target: List[int] = [constants.IGNORE_INDEX] * len(input_id)
+    for conv in conversations:
+        role = roles.get(conv.get("from", conv.get("role")), "user")
+        content = conv.get("value", conv.get("content", ""))
+        head = [sot] + tokenizer(role, add_special_tokens=False).input_ids + nl
+        body: List[int] = []
+        pieces = content.split(constants.DEFAULT_IMAGE_TOKEN)
+        for i, piece in enumerate(pieces):
+            body += tokenizer(piece, add_special_tokens=False).input_ids
+            if i < len(pieces) - 1:
+                body.append(constants.IMAGE_TOKEN_INDEX)
+        tail = [eot] + nl
+        input_id += head + body + tail
+        if role == "model":
+            target += [constants.IGNORE_INDEX] * len(head) + body + tail
+        else:
+            target += [constants.IGNORE_INDEX] * (len(head) + len(body) + len(tail))
+    return {"input_ids": np.asarray(input_id, np.int64),
+            "labels": np.asarray(target, np.int64)}
+
+
+def preprocess_llama_2(
+    conversations, tokenizer,
+    system_message: str = (
+        "You are a helpful language and vision assistant. You are able to "
+        "understand the visual content that the user provides, and assist "
+        "the user with a variety of tasks using natural language."
+    ),
+) -> Dict[str, np.ndarray]:
+    """Llama-2 [INST] format (train.py preprocess_llama_2 semantics):
+    `[INST] <<SYS>>\n{sys}\n<</SYS>>\n\n{user} [/INST] {answer}</s>` per
+    round (system only on the first); answers + eos supervised."""
+    bos = getattr(tokenizer, "bos_token_id", None)
+    eos = getattr(tokenizer, "eos_token_id", None)
+
+    def tok_with_image(text: str) -> List[int]:
+        ids: List[int] = []
+        pieces = text.split(constants.DEFAULT_IMAGE_TOKEN)
+        for i, piece in enumerate(pieces):
+            ids += tokenizer(piece, add_special_tokens=False).input_ids
+            if i < len(pieces) - 1:
+                ids.append(constants.IMAGE_TOKEN_INDEX)
+        return ids
+
+    users = [c for c in conversations
+             if c.get("from", c.get("role")) in ("human", "user")]
+    answers = [c for c in conversations
+               if c.get("from", c.get("role")) in ("gpt", "assistant")]
+    input_id: List[int] = []
+    target: List[int] = []
+    for rnd, (u, a) in enumerate(zip(users, answers)):
+        utext = u.get("value", u.get("content", ""))
+        atext = a.get("value", a.get("content", ""))
+        if rnd == 0:
+            utext = f"<<SYS>>\n{system_message}\n<</SYS>>\n\n{utext}"
+        prefix = ([] if bos is None else [bos]) + tok_with_image(
+            f"[INST] {utext} [/INST]")
+        body = tokenizer(atext, add_special_tokens=False).input_ids
+        input_id += prefix + body
+        target += [constants.IGNORE_INDEX] * len(prefix) + list(body)
+        if eos is not None:
+            input_id.append(eos)
+            target.append(eos)
+    return {"input_ids": np.asarray(input_id, np.int64),
+            "labels": np.asarray(target, np.int64)}
+
+
 PREPROCESS_FUNCS = {
     "qwen_1_5": preprocess_qwen,
     "qwen_2": preprocess_qwen,
@@ -357,4 +435,9 @@ PREPROCESS_FUNCS = {
     "llama3": preprocess_llama3,
     "v1": preprocess_v1,
     "vicuna_v1": preprocess_v1,
+    "gemma": preprocess_gemma,
+    "llama_2": preprocess_llama_2,
+    "llava_llama_2": preprocess_llama_2,
+    # MPT uses the same ChatML structure/masking as qwen (train.py:827-905)
+    "mpt": preprocess_qwen,
 }

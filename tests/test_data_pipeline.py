@@ -244,3 +244,47 @@ def test_preprocess_llama3_structure():
     for sid in (4, 5, 6):
         for posn in np.where(ids == sid)[0]:
             assert labels[posn] == sid
+
+
+def test_preprocess_gemma_masks_user():
+    class GTok(FakeTokenizer):
+        SPECIALS = dict(FakeTokenizer.SPECIALS)
+        SPECIALS.update({"<start_of_turn>": 4, "<end_of_turn>": 5})
+        bos_token_id = 8
+
+    tok = GTok()
+    enc = dataset.preprocess_gemma(
+        [{"from": "human", "value": "look <image> here"},
+         {"from": "gpt", "value": "a bird"}], tok)
+    ids, labels = enc["input_ids"], enc["labels"]
+    assert ids[0] == 8 and labels[0] == constants.IGNORE_INDEX
+    assert (ids == constants.IMAGE_TOKEN_INDEX).sum() == 1
+    bird = tok._id("bird")
+    assert labels[np.where(ids == bird)[0][0]] == bird
+    look = tok._id("look")
+    assert labels[np.where(ids == look)[0][0]] == constants.IGNORE_INDEX
+    # model turn's end_of_turn supervised, user turn's masked
+    eot_pos = np.where(ids == 5)[0]
+    assert labels[eot_pos[0]] == constants.IGNORE_INDEX  # user turn
+    assert labels[eot_pos[1]] == 5  # model turn
+
+
+def test_preprocess_llama_2_rounds():
+    tok = FakeTokenizer()
+    tok.bos_token_id = 8
+    tok.eos_token_id = 9
+    enc = dataset.preprocess_llama_2(
+        [{"from": "human", "value": "describe <image>"},
+         {"from": "gpt", "value": "a tree"},
+         {"from": "human", "value": "more detail"},
+         {"from": "gpt", "value": "tall oak"}], tok)
+    ids, labels = enc["input_ids"], enc["labels"]
+    assert (ids == 8).sum() == 2 and (ids == 9).sum() == 2  # bos/eos per round
+    assert (ids == constants.IMAGE_TOKEN_INDEX).sum() == 1
+    for word in ("tree", "oak"):
+        wid = tok._id(word)
+        assert labels[np.where(ids == wid)[0][0]] == wid
+    inst = tok._id("[INST]")
+    assert all(labels[p] == constants.IGNORE_INDEX for p in np.where(ids == inst)[0])
+    # every eos supervised
+    assert all(labels[p] == 9 for p in np.where(ids == 9)[0])
