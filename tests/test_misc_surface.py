@@ -82,3 +82,41 @@ def test_eval_bridge_fallback(tmp_path):
 
     with pytest.raises(RuntimeError, match="question_file"):
         evaluate_checkpoint(str(tmp_path), output_dir=str(tmp_path / "out"))
+
+
+@pytest.mark.parametrize("ptype", ["mlp2x_res2x_gelu", "pooler", "linear",
+                                   "identity", "mlp3x_gelu"])
+def test_projector_variants(ptype):
+    """Every accepted mm_projector_type initializes and maps (B, L, Din) ->
+    (B, L', Dout) with finite outputs (builder.py:20-30 name grammar)."""
+    from memory_augmented_vlm_tpu.models import projector
+
+    din, dout = 48, 64
+    key = jax.random.key(0)
+    p = projector.init_params(ptype, din, dout, key)
+    x = jax.random.normal(jax.random.key(1), (2, 36, din))  # 6x6 grid
+    y = projector.forward(p, ptype, x)
+    assert y.ndim == 3 and y.shape[0] == 2
+    if ptype == "identity":
+        assert y.shape[-1] == din
+    else:
+        assert y.shape[-1] == dout
+    if ptype == "pooler":
+        assert y.shape[1] == 9  # 2x2 pool of the 6x6 grid
+    else:
+        assert y.shape[1] == 36
+    assert bool(jnp.isfinite(y).all())
+    if ptype == "mlp2x_res2x_gelu":
+        assert len(p["res_blocks"]) == 2
+
+
+def test_res_projector_differs_from_plain_mlp():
+    from memory_augmented_vlm_tpu.models import projector
+
+    key = jax.random.key(0)
+    x = jax.random.normal(jax.random.key(1), (1, 4, 32))
+    p_res = projector.init_params("mlp2x_res1x_gelu", 32, 32, key)
+    p_mlp = {k: v for k, v in p_res.items() if k != "res_blocks"}
+    y_res = projector.forward(p_res, "mlp2x_res1x_gelu", x)
+    y_mlp = projector.forward(p_mlp, "mlp2x_gelu", x)
+    assert not np.allclose(np.asarray(y_res), np.asarray(y_mlp))
