@@ -122,11 +122,39 @@ class MavlmForCausalLM:
             # channel-first torch layout -> channel-last
             if pixels.shape[1] == 3 and pixels.shape[-1] != 3:
                 pixels = pixels.transpose(0, 2, 3, 1)
+            # raw (uint8) inputs get the reference's process_images treatment
+            # here; pre-normalized inputs must already be tower-sized tiles
+            s = self.cfg.vision.image_size
+            if pixels.dtype == np.uint8:
+                from memory_augmented_vlm_tpu.data.preprocessing import (
+                    SigLipImageProcessor,
+                    process_anyres_image,
+                )
+
+                proc = SigLipImageProcessor(size=(s, s))
+                if (modalities[0] != "video"
+                        and self.cfg.pipeline.image_aspect_ratio.startswith("anyres")):
+                    from PIL import Image
+
+                    pinpoints = getattr(
+                        self.cfg.pipeline, "image_aspect_ratio_grid_pinpoints",
+                        "(1x1),...,(6x6)")
+                    pixels, auto_size = process_anyres_image(
+                        Image.fromarray(pixels[0]), proc, pinpoints)
+                    if not image_sizes:
+                        image_sizes = [auto_size]
+                else:
+                    pixels = proc.preprocess(pixels)
+            elif pixels.shape[1] != s or pixels.shape[2] != s:
+                raise ValueError(
+                    f"pre-normalized inputs must be {s}x{s} tower tiles, got "
+                    f"{pixels.shape}; pass raw uint8 images/frames to let "
+                    "generate() run the processor (resize/normalize + anyres)")
             if modalities[0] == "video":
                 embeds = vlm.video_qa_embeds(self.params, self.cfg, pixels, ids)
             else:
                 # anyres tile stack (base + tiles) from process_anyres_image
-                from memory_augmented_vlm_tpu.models.image_path import build_image_embeds
+                from memory_augmented_vlm_tpu.models.image_path import build_image_embeds_jit
                 from memory_augmented_vlm_tpu.models.vlm import splice_image_embeds
 
                 size = None
@@ -134,7 +162,8 @@ class MavlmForCausalLM:
                     size = tuple(image_sizes[0])
                 else:
                     size = (pixels.shape[2], pixels.shape[1])
-                visual = build_image_embeds(self.params, self.cfg, pixels, size)
+                visual = build_image_embeds_jit(self.params, self.cfg, pixels,
+                                                tuple(size))
                 pos = int(np.where(ids == constants.IMAGE_TOKEN_INDEX)[0][0])
                 embeds = splice_image_embeds(
                     self.params,

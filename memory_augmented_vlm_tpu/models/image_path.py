@@ -124,6 +124,11 @@ def build_image_embeds(
     return jnp.concatenate([base, tile_tokens], axis=0)
 
 
+# one compiled tower+anyres-merge graph per (tile count, image size) —
+# eval/serving would otherwise run the tower eagerly (~28 ms/op relay)
+build_image_embeds_jit = jax.jit(build_image_embeds, static_argnums=(1, 3))
+
+
 def image_qa_embeds(
     params,
     cfg: VLMConfig,
@@ -147,7 +152,7 @@ def image_qa_embeds(
     else:
         pixels = processor.preprocess(image)
         size = image.size
-    visual = build_image_embeds(params, cfg, pixels, size)
+    visual = build_image_embeds_jit(params, cfg, pixels, tuple(size))
     pos = int(np.where(input_ids == constants.IMAGE_TOKEN_INDEX)[0][0])
     before = jnp.asarray(input_ids[:pos], jnp.int32)
     after = jnp.asarray(input_ids[pos + 1 :], jnp.int32)

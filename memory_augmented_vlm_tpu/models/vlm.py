@@ -314,6 +314,19 @@ def generate(
 # High-level video QA entry (host orchestration)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnums=(1, 6, 7))
+def _encode_and_fuse(params, cfg, frames, frame_indices, frame_valid,
+                     fine_idx, nseg, drop_fine_frames):
+    """One compiled graph for tower + fusion — eval/serving calls would
+    otherwise run the 26-layer tower eagerly (each op a ~28 ms relay
+    dispatch on this setup). Recompiles are bounded by frame buckets."""
+    feats = encode_frames(params, cfg, frames)
+    return build_video_embeds(
+        params, cfg, feats, frame_indices, frame_valid, fine_idx, nseg,
+        drop_fine_frames=drop_fine_frames,
+    )
+
+
 def video_qa_embeds(
     params,
     cfg: VLMConfig,
@@ -339,10 +352,10 @@ def video_qa_embeds(
     fine_idx = fine_frame_indices(f1, cfg.memory.num_fine_frames)
 
     dtype = jnp.bfloat16 if cfg.lm.dtype == "bfloat16" else jnp.float32
-    feats = encode_frames(params, cfg, jnp.asarray(frames, dtype))
-    visual = build_video_embeds(
-        params, cfg, feats, jnp.asarray(frame_indices), jnp.asarray(frame_valid),
-        jnp.asarray(fine_idx), nseg, drop_fine_frames=training_drop_frames,
+    visual = _encode_and_fuse(
+        params, cfg, jnp.asarray(frames, dtype), jnp.asarray(frame_indices),
+        jnp.asarray(frame_valid), jnp.asarray(fine_idx), nseg,
+        training_drop_frames,
     )
 
     image_pos = int(np.where(input_ids == constants.IMAGE_TOKEN_INDEX)[0][0])

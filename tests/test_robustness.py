@@ -83,3 +83,28 @@ def test_generate_zero_max_new_tokens():
     out = vlm.generate(params, TINY, emb, max_new_tokens=1,
                        eos_token_ids=(49999,), pad_to_multiple=8)
     assert out.tokens.shape == (1,)
+
+
+def test_eval_model_preprocesses_raw_uint8_image():
+    """Raw uint8 images get the processor + anyres treatment inside
+    generate(); pre-normalized wrong-size floats are rejected clearly."""
+    from memory_augmented_vlm_tpu.eval.model import MavlmForCausalLM
+
+    params = vlm.init_params(TINY, jax.random.key(0))
+    model = MavlmForCausalLM(params, TINY, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = torch.tensor([[10, constants.IMAGE_TOKEN_INDEX, 12]])
+    raw = rng.integers(0, 255, (120, 90, 3), dtype=np.uint8)  # not tower size
+    out = model.generate(ids, images=[raw], modalities=["image"],
+                         max_new_tokens=2, eos_token_id=49999)
+    assert out.shape[0] == 1
+    # raw video frames too
+    frames = rng.integers(0, 255, (6, 100, 100, 3), dtype=np.uint8)
+    out = model.generate(ids, images=[frames], modalities=["video"],
+                         max_new_tokens=2, eos_token_id=49999)
+    assert out.shape[0] == 1
+    # normalized floats at the wrong size -> actionable error
+    bad = rng.standard_normal((1, 100, 100, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="tower tiles"):
+        model.generate(ids, images=[bad], modalities=["image"],
+                       max_new_tokens=2, eos_token_id=49999)
