@@ -19,10 +19,7 @@ import numpy as np
 
 from memory_augmented_vlm_tpu import constants
 from memory_augmented_vlm_tpu.config import PipelineConfig
-from memory_augmented_vlm_tpu.data.dataset import (
-    LazySupervisedDataset,
-    preprocess_qwen,
-)
+from memory_augmented_vlm_tpu.data.dataset import LazySupervisedDataset
 
 
 class DPODataset(LazySupervisedDataset):
@@ -48,8 +45,8 @@ class DPODataset(LazySupervisedDataset):
         out = super()._get_item(i)
         self.items[i] = item  # restore
 
-        rejected = preprocess_qwen(self._conversations_for(item, "rejected"),
-                                   self.tokenizer)
+        rejected = self.preprocess_fn(self._conversations_for(item, "rejected"),
+                                      self.tokenizer)
         out["chosen_input_ids"] = out.pop("input_ids")
         out["chosen_labels"] = out.pop("labels")
         out["rejected_input_ids"] = rejected["input_ids"]
