@@ -166,6 +166,43 @@ def sanitize_pspecs(pspecs: Any, params: Any, mesh: Mesh) -> Any:
     return jax.tree.map(fix, pspecs, params, is_leaf=lambda x: isinstance(x, P))
 
 
+def constrain(x: jax.Array, spec: P) -> jax.Array:
+    """`with_sharding_constraint` that no-ops outside a mesh context.
+
+    Used to pin activation shardings (e.g. CE logits to
+    ``P(("data","fsdp"), None, "tp")``) so their *cotangents* are born with
+    the layout the parameter-gradient matmuls need — without one, GSPMD
+    builds the vocab-sized d_logits batch-sharded and pays an involuntary
+    full rematerialization resharding it to the tp-sharded lm_head grad.
+    Silently skipped when there is no ambient mesh, when the spec names axes
+    the mesh lacks, or on dims the mesh axis size doesn't divide.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or mesh.empty:
+        return x
+    axis_names = set(mesh.axis_names)
+    out = []
+    for dim, names in enumerate(tuple(spec)):
+        if names is None:
+            out.append(None)
+            continue
+        group = (names,) if isinstance(names, str) else tuple(names)
+        size = 1
+        ok = True
+        for n in group:
+            if n not in axis_names:
+                ok = False
+                break
+            size *= mesh.shape[n]
+        if ok and dim < x.ndim and x.shape[dim] % size == 0:
+            out.append(names)
+        else:
+            out.append(None)
+    if all(n is None for n in out):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*out))
+
+
 def shard_params(params: Any, mesh: Mesh) -> Any:
     """Place a VLM param pytree onto the mesh per the rules above."""
     pspecs = sanitize_pspecs(vlm_param_pspecs(params), params, mesh)

@@ -72,6 +72,16 @@ def _splice_batched(text_embeds, visual, image_pos, labels, ignore):
     return embeds, lab
 
 
+def _constrain_logits(logits):
+    """Pin (batch, -, vocab-on-tp): d_logits must be born vocab-sharded or
+    GSPMD pays an involuntary full-remat reshard feeding the lm_head grad."""
+    from jax.sharding import PartitionSpec as P
+
+    from memory_augmented_vlm_tpu.parallel.sharding import constrain
+
+    return constrain(logits, P(("data", "fsdp"), None, "tp"))
+
+
 def dense_cross_entropy(params, cfg: VLMConfig, hidden, labels, valid_len):
     """Next-token CE with dense logits (used off-TPU: differentiating the
     chunked scan sends the XLA:CPU compiler into a multi-minute tailspin,
@@ -79,6 +89,7 @@ def dense_cross_entropy(params, cfg: VLMConfig, hidden, labels, valid_len):
     memory savings anyway)."""
     b, s, _ = hidden.shape
     logits = qwen2.unembed(params["language_model"], cfg.lm, hidden)
+    logits = _constrain_logits(logits)
     targets = jnp.concatenate(
         [labels[:, 1:], jnp.full((b, 1), constants.IGNORE_INDEX, labels.dtype)], axis=1
     )
@@ -130,6 +141,7 @@ def chunked_cross_entropy(params, cfg: VLMConfig, hidden, labels, valid_len,
         tot, cnt = carry
         hid, tgt, msk = xs
         logits = qwen2.unembed(params["language_model"], cfg.lm, hid)  # fp32
+        logits = _constrain_logits(logits)
         logz = jax.nn.logsumexp(logits, axis=-1)
         tgt_logit = jnp.take_along_axis(
             logits, jnp.clip(tgt, 0)[..., None], axis=-1

@@ -84,3 +84,25 @@ def test_sharded_train_step_runs_and_matches_single_device():
         float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-4
     )
     assert int(new_state.step) == 1
+
+
+def test_dryrun_entry_no_involuntary_remat():
+    """The driver's 8-device dryrun must compile without GSPMD falling back
+    to a full replicate-then-reshard on the vocab-sized CE cotangent (the
+    logits sharding constraint in train/trainer.py pins it)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "__graft_entry__.py"), "--dryrun", "8"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(8) ok" in proc.stdout
+    assert "Involuntary full rematerialization" not in proc.stderr
