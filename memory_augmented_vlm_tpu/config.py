@@ -42,6 +42,10 @@ class LMConfig:
     mlp_act: str = "silu"
     norm_plus_one: bool = False
     scale_embeddings: bool = False
+    # sparse MoE MLP (Mixtral, llava/model/language_model/llava_mixtral.py):
+    # 0 experts = dense MLP; top-k routing with renormalized softmax weights
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
     # dtype used for activations on device (params may be kept in fp32 master copies)
     dtype: str = "bfloat16"
 
@@ -150,6 +154,8 @@ class PipelineConfig:
     Defaults are the *active* video recipe (scripts/train/finetune_short.sh).
     """
 
+    mm_vision_tower: str = "google/siglip-so400m-patch14-384"
+    s2: bool = False                  # CLIP-S2 multi-scale wrapper
     mm_projector_type: str = "mlp2x_gelu"
     mm_resampler_type: Optional[str] = None
     mm_patch_merge_type: str = "spatial_unpad"
@@ -188,6 +194,19 @@ class VLMConfig:
             object.__setattr__(
                 self, "memory",
                 dataclasses.replace(self.memory, hidden_size=self.lm.hidden_size),
+            )
+        # memory.patch_size is structurally determined by the tower geometry
+        # (tokens per frame after the 2x2 pool) — derive it so alternative
+        # towers (CLIP 24x24 -> 144, imagebind 1) stay consistent.
+        from memory_augmented_vlm_tpu.models import encoders as _encoders
+
+        side = _encoders.tower_for(self).num_patches_per_side
+        stride = self.pipeline.mm_spatial_pool_stride
+        pooled = (-(-side // stride)) ** 2 if side > 1 else 1
+        if self.memory.patch_size != pooled:
+            object.__setattr__(
+                self, "memory",
+                dataclasses.replace(self.memory, patch_size=pooled),
             )
 
     @staticmethod

@@ -30,29 +30,56 @@ from memory_augmented_vlm_tpu.data.preprocessing import SigLipImageProcessor
 from memory_augmented_vlm_tpu.eval.model import MavlmForCausalLM
 
 
-def infer_vision_config(sd: dict) -> VisionConfig:
-    """Infer the tower geometry from checkpoint tensors (the reference infers
-    it from the tower name string; tensors are more robust for tiny tests)."""
+def infer_vision_config(sd: dict, tower_name: str = "siglip"):
+    """Infer the tower family + geometry from checkpoint tensors and the
+    `mm_vision_tower` name (the reference dispatches on the name alone,
+    multimodal_encoder/builder.py:13-41; tensors pin the geometry for tiny
+    test checkpoints). Returns the family-appropriate config dataclass."""
     import re as _re
 
-    pe_key = next((k for k in sd if k.endswith("embeddings.patch_embedding.weight")), None)
+    is_clip = any(k.endswith("embeddings.class_embedding") for k in sd)
+    is_mlcd = any(k.endswith("class_pos_emb") for k in sd) or "mlcd" in tower_name.lower()
+
+    pe_key = next((k for k in sd if k.endswith("patch_embedding.weight")), None)
     if pe_key is None:
         return VisionConfig()
     w = sd[pe_key]  # (out, in, kh, kw) torch conv layout
     hidden, _, patch, _ = w.shape
-    pos_key = next(k for k in sd if k.endswith("embeddings.position_embedding.weight"))
-    num_patches = sd[pos_key].shape[0]
-    side = int(round(num_patches ** 0.5))
-    layers = 1 + max(
+    layer_idx = [
         int(m.group(1))
         for k in sd
         if (m := _re.search(r"encoder\.layers\.(\d+)\.", k))
-    )
+    ]
+    layers = 1 + max(layer_idx)
     fc1_key = next(k for k in sd if k.endswith("layers.0.mlp.fc1.weight"))
     inter = sd[fc1_key].shape[0]
-    # head count is not recoverable from shapes; SigLIP uses hidden/72=16 for
-    # SO400M — default to 16 when divisible, else 8
     heads = 16 if hidden % 16 == 0 else 8
+
+    if is_mlcd:
+        from memory_augmented_vlm_tpu.models.mlcd import MLCDVisionConfig
+
+        # MLCD has no positional table to read the grid from; RoPE-2D works
+        # at any grid, so keep the family-default 336px unless the name says
+        # otherwise. Checkpoint holds layers up to the -2 tap.
+        return MLCDVisionConfig(
+            hidden_size=hidden, intermediate_size=inter,
+            num_hidden_layers=layers + 1, num_attention_heads=heads,
+            image_size=448 if "448" in tower_name else 336, patch_size=patch,
+        )
+    if is_clip:
+        from memory_augmented_vlm_tpu.models.clip import CLIPVisionConfig
+
+        pos_key = next(k for k in sd if k.endswith("embeddings.position_embedding.weight"))
+        num_positions = sd[pos_key].shape[0]           # patches + CLS
+        side = int(round((num_positions - 1) ** 0.5))
+        return CLIPVisionConfig(
+            hidden_size=hidden, intermediate_size=inter,
+            num_hidden_layers=layers + 1, num_attention_heads=heads,
+            image_size=side * patch, patch_size=patch,
+        )
+    pos_key = next(k for k in sd if k.endswith("embeddings.position_embedding.weight"))
+    num_patches = sd[pos_key].shape[0]
+    side = int(round(num_patches ** 0.5))
     return VisionConfig(
         hidden_size=hidden,
         intermediate_size=inter,
@@ -81,22 +108,20 @@ def infer_memory_config(sd: dict, lm_hidden: int) -> MemoryConfig:
 
 
 def config_from_json(raw: dict) -> VLMConfig:
-    """Map a LlavaQwen HF config.json onto our typed config."""
-    lm = LMConfig(
-        vocab_size=raw.get("vocab_size", 151936),
-        hidden_size=raw.get("hidden_size", 896),
-        intermediate_size=raw.get("intermediate_size", 4864),
-        num_hidden_layers=raw.get("num_hidden_layers", 24),
-        num_attention_heads=raw.get("num_attention_heads", 14),
-        num_key_value_heads=raw.get("num_key_value_heads", 2),
-        head_dim=raw.get("head_dim",
-                         raw.get("hidden_size", 896) // raw.get("num_attention_heads", 14)),
-        max_position_embeddings=raw.get("max_position_embeddings", 32768),
-        rope_theta=raw.get("rope_theta", 1000000.0),
-        rms_norm_eps=raw.get("rms_norm_eps", 1e-6),
-        tie_word_embeddings=raw.get("tie_word_embeddings", False),
-    )
+    """Map a Llava-family HF config.json onto our typed config.
+
+    `model_type` dispatches through the registry (llava/model/__init__.py
+    AVAILABLE_MODELS), which owns per-family semantics such as Llama's
+    attention_bias=False — hand-building LMConfig here would silently apply
+    Qwen2 bias defaults to every family.
+    """
+    from memory_augmented_vlm_tpu.models.registry import lm_config_for
+
+    lm = lm_config_for(raw.get("model_type", "llava_qwen"), raw)
     pipeline = PipelineConfig(
+        mm_vision_tower=raw.get("mm_vision_tower",
+                                "google/siglip-so400m-patch14-384"),
+        s2=raw.get("s2", False),
         mm_projector_type=raw.get("mm_projector_type", "mlp2x_gelu"),
         mm_patch_merge_type=raw.get("mm_patch_merge_type", "spatial_unpad"),
         mm_newline_position=raw.get("mm_newline_position", "one_token"),
@@ -118,7 +143,7 @@ def config_from_json_and_weights(raw: dict, sd: dict) -> VLMConfig:
 
     return _dc.replace(
         base,
-        vision=infer_vision_config(sd),
+        vision=infer_vision_config(sd, base.pipeline.mm_vision_tower),
         memory=infer_memory_config(sd, base.lm.hidden_size),
     )
 
@@ -152,6 +177,12 @@ def load_pretrained_model(
     sd = hf_import.load_safetensors_dir(model_path)
     cfg = config_from_json_and_weights(raw, sd)
     dtype = jnp.bfloat16 if torch_dtype in ("bfloat16", "auto") else jnp.float32
+    if dtype == jnp.float32 and cfg.lm.dtype != "float32":
+        import dataclasses as _dc
+
+        # activation dtype follows the requested load dtype (fp32 loads are
+        # the parity/testing path; bf16 is the TPU production path)
+        cfg = _dc.replace(cfg, lm=_dc.replace(cfg.lm, dtype="float32"))
 
     lm_sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")
              and not k.startswith(("model.vision_tower", "model.mm_projector",
@@ -161,12 +192,13 @@ def load_pretrained_model(
                                    "model.vision_resampler"))}
     if "lm_head.weight" in sd:
         lm_sd["lm_head.weight"] = sd["lm_head.weight"]
+    from memory_augmented_vlm_tpu.models.encoders import tower_for
+
+    tower_sd = {k[len("model."):]: v for k, v in sd.items()
+                if k.startswith("model.vision_tower")}
     params = {
         "language_model": hf_import.convert_qwen2(lm_sd, cfg.lm),
-        "vision_tower": hf_import.convert_siglip(
-            {k: v for k, v in sd.items() if k.startswith("model.vision_tower")},
-            cfg.vision,
-        ),
+        "vision_tower": tower_for(cfg).convert_hf(tower_sd),
         "mm_projector": hf_import.convert_projector(sd, cfg.pipeline.mm_projector_type),
     }
     params.update(_memory_and_pe(sd, cfg, dtype))

@@ -35,6 +35,7 @@ class CLIPVisionConfig:
     num_channels: int = 3
     select_layer: int = -2
     select_feature: str = "patch"
+    hidden_act: str = "quick_gelu"    # OpenCLIP non-quickgelu models use gelu
 
     @property
     def num_patches_per_side(self) -> int:
@@ -95,7 +96,10 @@ def forward(params, cfg: CLIPVisionConfig, pixel_values: jax.Array) -> jax.Array
         residual = hidden
         x = layer_norm(hidden, lp["layer_norm2"]["weight"], lp["layer_norm2"]["bias"],
                        cfg.layer_norm_eps)
-        hidden = residual + _linear(lp["fc2"], _quick_gelu(_linear(lp["fc1"], x)))
+        x = _linear(lp["fc1"], x)
+        x = _quick_gelu(x) if cfg.hidden_act == "quick_gelu" else jax.nn.gelu(
+            x, approximate=False)
+        hidden = residual + _linear(lp["fc2"], x)
         return hidden, None
 
     hidden, _ = jax.lax.scan(layer_body, hidden, params["layers"])
@@ -132,6 +136,46 @@ def s2_forward(params, cfg: CLIPVisionConfig, pixel_values: jax.Array,
             fmap = bilinear_resize(fmap, side, side)
         outs.append(fmap.reshape(b, side * side, cfg.hidden_size))
     return jnp.concatenate(outs, axis=-1)
+
+
+def init_params(cfg: CLIPVisionConfig, key: jax.Array, dtype=jnp.float32):
+    """Random params matching the `convert_hf` pytree (layers trimmed to the
+    select tap, stacked on a leading layer axis for lax.scan)."""
+    used = cfg.num_hidden_layers + cfg.select_layer + 1
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    ks = iter(jax.random.split(key, 16))
+
+    def dense(kk, din, dout):
+        return {
+            "kernel": (jax.random.normal(kk, (used, din, dout)) * 0.02).astype(dtype),
+            "bias": jnp.zeros((used, dout), dtype),
+        }
+
+    layers = {
+        "layer_norm1": {"weight": jnp.ones((used, h), dtype),
+                        "bias": jnp.zeros((used, h), dtype)},
+        "layer_norm2": {"weight": jnp.ones((used, h), dtype),
+                        "bias": jnp.zeros((used, h), dtype)},
+        "q_proj": dense(next(ks), h, h),
+        "k_proj": dense(next(ks), h, h),
+        "v_proj": dense(next(ks), h, h),
+        "out_proj": dense(next(ks), h, h),
+        "fc1": dense(next(ks), h, i),
+        "fc2": dense(next(ks), i, h),
+    }
+    return {
+        "class_embedding": (jax.random.normal(next(ks), (h,)) * 0.02).astype(dtype),
+        "patch_embedding": {
+            "kernel": (jax.random.normal(
+                next(ks), (cfg.patch_size, cfg.patch_size, cfg.num_channels, h)
+            ) * 0.02).astype(dtype),
+        },
+        "position_embedding": (
+            jax.random.normal(next(ks), (cfg.num_positions, h)) * 0.02
+        ).astype(dtype),
+        "pre_layrnorm": {"weight": jnp.ones((h,), dtype), "bias": jnp.zeros((h,), dtype)},
+        "layers": layers,
+    }
 
 
 def convert_hf(sd, cfg: CLIPVisionConfig):

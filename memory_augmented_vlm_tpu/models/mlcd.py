@@ -135,6 +135,43 @@ def forward(params, cfg: MLCDVisionConfig, pixel_values: jax.Array) -> jax.Array
     return hidden
 
 
+def init_params(cfg: MLCDVisionConfig, key: jax.Array, dtype=jnp.float32):
+    """Random params matching the `convert_hf` pytree."""
+    used = cfg.num_hidden_layers + cfg.select_layer + 1
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    ks = iter(jax.random.split(key, 16))
+
+    def dense(kk, din, dout):
+        return {
+            "kernel": (jax.random.normal(kk, (used, din, dout)) * 0.02).astype(dtype),
+            "bias": jnp.zeros((used, dout), dtype),
+        }
+
+    layers = {
+        "layer_norm1": {"weight": jnp.ones((used, h), dtype),
+                        "bias": jnp.zeros((used, h), dtype)},
+        "layer_norm2": {"weight": jnp.ones((used, h), dtype),
+                        "bias": jnp.zeros((used, h), dtype)},
+        "q_proj": dense(next(ks), h, h),
+        "k_proj": dense(next(ks), h, h),
+        "v_proj": dense(next(ks), h, h),
+        "out_proj": dense(next(ks), h, h),
+        "fc1": dense(next(ks), h, i),
+        "fc2": dense(next(ks), i, h),
+    }
+    return {
+        "class_embedding": (jax.random.normal(next(ks), (h,)) * 0.02).astype(dtype),
+        "patch_embedding": {
+            "kernel": (jax.random.normal(
+                next(ks), (cfg.patch_size, cfg.patch_size, cfg.num_channels, h)
+            ) * 0.02).astype(dtype),
+        },
+        "pre_layrnorm": {"weight": jnp.ones((h,), dtype), "bias": jnp.zeros((h,), dtype)},
+        "class_pos_emb": (jax.random.normal(next(ks), (1, cfg.head_dim // 2)) * 0.02).astype(dtype),
+        "layers": layers,
+    }
+
+
 def convert_hf(sd, cfg: MLCDVisionConfig):
     """HF MLCDVisionModel state dict -> param pytree, trimmed to the tap."""
     from memory_augmented_vlm_tpu.checkpoint.hf_import import _stack, _strip_prefix

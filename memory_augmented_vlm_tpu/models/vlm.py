@@ -31,9 +31,10 @@ import jax.numpy as jnp
 
 from memory_augmented_vlm_tpu import constants
 from memory_augmented_vlm_tpu.config import VLMConfig
+from memory_augmented_vlm_tpu.models import encoders as encoders_mod
 from memory_augmented_vlm_tpu.models import memory as memory_mod
 from memory_augmented_vlm_tpu.models import projector as projector_mod
-from memory_augmented_vlm_tpu.models import qwen2, siglip
+from memory_augmented_vlm_tpu.models import qwen2
 from memory_augmented_vlm_tpu.models.position_encoding import add_temporal_pe
 from memory_augmented_vlm_tpu.models.position_encoding import init_params as pe_init
 from memory_augmented_vlm_tpu.ops.pooling import spatial_pool_2x2
@@ -77,10 +78,11 @@ def init_params(cfg: VLMConfig, key: jax.Array, dtype=jnp.float32):
     ks = jax.random.split(key, 8)
     h = cfg.lm.hidden_size
     embed_std = 1.0 / np.sqrt(h)
+    tower = encoders_mod.tower_for(cfg)
     return {
-        "vision_tower": siglip.init_params(cfg.vision, ks[0], dtype),
+        "vision_tower": tower.init_params(ks[0], dtype),
         "mm_projector": projector_mod.init_params(
-            cfg.pipeline.mm_projector_type, cfg.vision.hidden_size, h, ks[1], dtype
+            cfg.pipeline.mm_projector_type, tower.hidden_size, h, ks[1], dtype
         ),
         "language_model": qwen2.init_params(cfg.lm, ks[2], dtype),
         "memory": {
@@ -111,15 +113,17 @@ def encode_frames(params, cfg: VLMConfig, pixels: jax.Array) -> jax.Array:
     Tower + projector outputs are stop_gradient'ed: the reference detaches
     vision features even during training (llava_arch.py:302).
     """
-    feats = siglip.forward(params["vision_tower"], cfg.vision, pixels,
-                           int8=cfg.pipeline.tower_int8)
+    tower = encoders_mod.tower_for(cfg)
+    feats = tower.forward(params["vision_tower"], pixels)
     feats = projector_mod.forward(
         params["mm_projector"], cfg.pipeline.mm_projector_type, feats
     )
     feats = jax.lax.stop_gradient(feats)
+    if tower.num_patches_per_side == 1:
+        return feats  # global-embedding towers (imagebind) — nothing to pool
     return spatial_pool_2x2(
         feats,
-        cfg.vision.num_patches_per_side,
+        tower.num_patches_per_side,
         mode=cfg.pipeline.mm_spatial_pool_mode,
         stride=cfg.pipeline.mm_spatial_pool_stride,
     )

@@ -61,6 +61,15 @@ def test_registry_selection():
     assert t3.family == "clip_s2" and t3.hidden_size == 3072
     t4 = build_vision_tower("mlcd-vit-bigG-patch14")
     assert t4.family == "mlcd" and t4.hidden_size == 1664
-    for name in ("imagebind_huge", "open_clip_hub:ViT-H", "hf:facebook/dinov2"):
+    t5 = build_vision_tower("imagebind_huge")
+    assert t5.family == "imagebind" and t5.hidden_size == 1024
+    assert t5.num_patches_per_side == 1  # one global token per image
+    t6 = build_vision_tower("open_clip_hub:ViT-H-14-378-quickgelu")
+    assert t6.family == "open_clip" and t6.hidden_size == 1280
+    assert t6.config.hidden_act == "quick_gelu"
+    t7 = build_vision_tower("hf:google/siglip-base-patch16-224")
+    assert t7.family == "siglip"
+    # unknown geometries / non-CLIP-family architectures still refuse
+    for name in ("open_clip_hub:ViT-Unknown", "hf:facebook/dinov2"):
         with pytest.raises(ValueError):
             build_vision_tower(name)
