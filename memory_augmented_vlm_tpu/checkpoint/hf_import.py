@@ -33,6 +33,7 @@ import numpy as np
 __all__ = [
     "load_safetensors_dir",
     "convert_qwen2",
+    "convert_mixtral",
     "convert_siglip",
     "convert_projector",
     "convert_memory_modules",
@@ -102,6 +103,55 @@ def convert_llama(sd: Dict[str, np.ndarray], cfg) -> dict:
     """Llama/Mistral-family weights -> the same decoder pytree (no qkv bias).
     Shares the Qwen2 converter — key names are identical minus biases."""
     return convert_qwen2(sd, cfg)
+
+
+def convert_mixtral(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """HF Mixtral weights -> the MoE decoder pytree.
+
+    Attention/norm keys match Llama; the MLP is `block_sparse_moe` with a
+    router `gate.weight (E, H)` and per-expert `experts.N.w{1,2,3}.weight`
+    (w1=gate, w3=up, w2=down) — stacked to (L, E, ...) kernels for the
+    scan + dense-dispatch MoE block (models/qwen2.py::_moe_mlp).
+    """
+    sd = {k: v for k, v in sd.items()}
+    if any(k.startswith("model.embed_tokens") for k in sd):
+        sd = {re.sub(r"^model\.", "", k): v for k, v in sd.items()}
+    L, E = cfg.num_hidden_layers, cfg.num_local_experts
+    p = "layers.{}."
+    layers = {
+        "input_layernorm": _stack(sd, p + "input_layernorm.weight", L),
+        "post_attention_layernorm": _stack(sd, p + "post_attention_layernorm.weight", L),
+        "q_proj": _qkv_entry(sd, p + "self_attn.q_proj", L),
+        "k_proj": _qkv_entry(sd, p + "self_attn.k_proj", L),
+        "v_proj": _qkv_entry(sd, p + "self_attn.v_proj", L),
+        "o_proj": {"kernel": _stack(sd, p + "self_attn.o_proj.weight", L, transpose=True)},
+        "moe_gate": {"kernel": _stack(sd, p + "block_sparse_moe.gate.weight", L,
+                                      transpose=True)},
+    }
+
+    def experts(w: str, transpose: bool) -> np.ndarray:
+        out = np.stack([
+            np.stack([
+                np.asarray(sd[f"layers.{l}.block_sparse_moe.experts.{e}.{w}.weight"])
+                for e in range(E)
+            ])
+            for l in range(L)
+        ]).astype(np.float32)
+        return out.transpose(0, 1, 3, 2) if transpose else out
+
+    layers["experts"] = {
+        "gate_proj": {"kernel": experts("w1", transpose=True)},
+        "up_proj": {"kernel": experts("w3", transpose=True)},
+        "down_proj": {"kernel": experts("w2", transpose=True)},
+    }
+    params = {
+        "embed_tokens": sd["embed_tokens.weight"].astype(np.float32),
+        "layers": layers,
+        "norm": sd["norm.weight"].astype(np.float32),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = sd["lm_head.weight"].T.astype(np.float32)
+    return params
 
 
 def convert_qwen2(sd: Dict[str, np.ndarray], cfg) -> dict:

@@ -196,8 +196,10 @@ def load_pretrained_model(
 
     tower_sd = {k[len("model."):]: v for k, v in sd.items()
                 if k.startswith("model.vision_tower")}
+    lm_convert = (hf_import.convert_mixtral
+                  if cfg.lm.num_local_experts > 0 else hf_import.convert_qwen2)
     params = {
-        "language_model": hf_import.convert_qwen2(lm_sd, cfg.lm),
+        "language_model": lm_convert(lm_sd, cfg.lm),
         "vision_tower": tower_for(cfg).convert_hf(tower_sd),
         "mm_projector": hf_import.convert_projector(sd, cfg.pipeline.mm_projector_type),
     }

@@ -77,12 +77,21 @@ def init_params(cfg: LMConfig, key: jax.Array, dtype=jnp.float32):
             "k_proj": _maybe_bias(dense(ks[2], (L, H, NKV * D)), (L, NKV * D), cfg, dtype),
             "v_proj": _maybe_bias(dense(ks[3], (L, H, NKV * D)), (L, NKV * D), cfg, dtype),
             "o_proj": {"kernel": dense(ks[4], (L, NH * D, H))},
-            "gate_proj": {"kernel": dense(ks[5], (L, H, I))},
-            "up_proj": {"kernel": dense(ks[6], (L, H, I))},
-            "down_proj": {"kernel": dense(ks[7], (L, I, H))},
         },
         "norm": jnp.ones((H,), dtype),
     }
+    if cfg.num_local_experts > 0:
+        E = cfg.num_local_experts
+        params["layers"]["moe_gate"] = {"kernel": dense(ks[5], (L, H, E))}
+        params["layers"]["experts"] = {
+            "gate_proj": {"kernel": dense(ks[6], (L, E, H, I))},
+            "up_proj": {"kernel": dense(ks[7], (L, E, H, I))},
+            "down_proj": {"kernel": dense(ks[9], (L, E, I, H))},
+        }
+    else:
+        params["layers"]["gate_proj"] = {"kernel": dense(ks[5], (L, H, I))}
+        params["layers"]["up_proj"] = {"kernel": dense(ks[6], (L, H, I))}
+        params["layers"]["down_proj"] = {"kernel": dense(ks[7], (L, I, H))}
     if not cfg.tie_word_embeddings:
         params["lm_head"] = dense(ks[8], (H, cfg.vocab_size))
     return params
@@ -108,7 +117,7 @@ def unembed(params, cfg: LMConfig, hidden: jax.Array) -> jax.Array:
                       preferred_element_type=jnp.float32)
 
 
-def _layer_mlp(lp, x, act: str = "silu"):
+def _dense_mlp(lp, x, act: str = "silu"):
     gate = jnp.einsum("bsh,hi->bsi", x, lp["gate_proj"]["kernel"])
     up = jnp.einsum("bsh,hi->bsi", x, lp["up_proj"]["kernel"])
     if act == "silu":
@@ -118,6 +127,39 @@ def _layer_mlp(lp, x, act: str = "silu"):
     else:
         raise ValueError(act)
     return jnp.einsum("bsi,ih->bsh", g * up, lp["down_proj"]["kernel"])
+
+
+def _moe_mlp(lp, x, cfg: "LMConfig"):
+    """Mixtral sparse-MoE block (HF MixtralSparseMoeBlock semantics):
+    fp32 softmax router, top-k selection, weights renormalized over the
+    selected experts, SwiGLU experts (w1=gate, w3=up, w2=down).
+
+    TPU-native dispatch: experts are computed densely over a stacked
+    (E, H, I) kernel and combined with the zero-masked routing weights —
+    one einsum per projection instead of per-expert gathers (no dynamic
+    shapes, and sharding the E axis over the mesh gives expert parallelism
+    with a single psum on the weighted sum).
+    """
+    e, k = cfg.num_local_experts, cfg.num_experts_per_tok
+    logits = jnp.einsum("bsh,he->bse", x, lp["moe_gate"]["kernel"])
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    top_w, top_i = jax.lax.top_k(probs, k)
+    top_w = top_w / top_w.sum(axis=-1, keepdims=True)
+    # scatter the renormalized top-k weights back to a dense (B, S, E) map
+    weights = jnp.sum(
+        jax.nn.one_hot(top_i, e, dtype=jnp.float32) * top_w[..., None], axis=-2
+    ).astype(x.dtype)
+    gate = jnp.einsum("bsh,ehi->bsei", x, lp["experts"]["gate_proj"]["kernel"])
+    up = jnp.einsum("bsh,ehi->bsei", x, lp["experts"]["up_proj"]["kernel"])
+    act = jax.nn.silu(gate) * up
+    out = jnp.einsum("bsei,eih->bseh", act, lp["experts"]["down_proj"]["kernel"])
+    return jnp.einsum("bseh,bse->bsh", out, weights)
+
+
+def _layer_mlp(lp, x, act: str = "silu", cfg: Optional["LMConfig"] = None):
+    if cfg is not None and cfg.num_local_experts > 0:
+        return _moe_mlp(lp, x, cfg)
+    return _dense_mlp(lp, x, act)
 
 
 def _norm(x, w, cfg: LMConfig):
@@ -260,7 +302,7 @@ def forward(
         hidden = residual + attn
         residual = hidden
         x = _norm(hidden, lp["post_attention_layernorm"], cfg)
-        hidden = residual + _layer_mlp(lp, x, cfg.mlp_act)
+        hidden = residual + _layer_mlp(lp, x, cfg.mlp_act, cfg)
         return hidden, (k, v)
 
     if remat:
@@ -330,7 +372,7 @@ def decode_step(
         hidden = residual + attn
         residual = hidden
         x = _norm(hidden, lp["post_attention_layernorm"], cfg)
-        hidden = residual + _layer_mlp(lp, x, cfg.mlp_act)
+        hidden = residual + _layer_mlp(lp, x, cfg.mlp_act, cfg)
         return hidden, (layer_k, layer_v)
 
     hidden, (new_k, new_v) = jax.lax.scan(

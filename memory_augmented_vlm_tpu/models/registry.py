@@ -8,9 +8,11 @@ config fields / weight layouts each family uses:
   llava_qwen     : Qwen2 (qkv bias, optional tied embeddings)   — ACTIVE
   llava_llama    : Llama  (no attention bias)
   llava_mistral  : Mistral (no attention bias, sliding window unused <=32k)
-  llava_mixtral / llava_qwen_moe : MoE — out of scope for v1 (the reference
-                   also ships these disabled, model/__init__.py:7)
-  llava_gemma    : Gemma (gelu MLP + embed scaling) — roadmap
+  llava_mixtral  : Mixtral sparse MoE (ACTIVE in the reference registry,
+                   model/__init__.py:7; llava_mixtral.py:1-143)
+  llava_gemma    : Gemma (gelu MLP + embed scaling)
+  llava_qwen_moe : disabled in the reference (__init__.py:8 commented) —
+                   refused here with the same status
   llava_mpt      : MPT — roadmap
 """
 
@@ -38,9 +40,16 @@ def lm_config_for(model_type: str, raw: dict) -> LMConfig:
     family = model_type.replace("llava_", "")
     if family in ("qwen", "qwen2", "llava_qwen"):
         return LMConfig(attention_bias=True, **base)
-    if family in ("mixtral", "qwen_moe", "qwen2_moe"):
-        raise ValueError(f"{model_type} is MoE — out of scope for v1 "
-                         "(the reference ships these disabled too)")
+    if family == "mixtral":
+        return LMConfig(
+            attention_bias=False,
+            num_local_experts=raw.get("num_local_experts", 8),
+            num_experts_per_tok=raw.get("num_experts_per_tok", 2),
+            **base,
+        )
+    if family in ("qwen_moe", "qwen2_moe"):
+        raise ValueError(f"{model_type} is disabled in the reference registry "
+                         "(llava/model/__init__.py:8) — not supported")
     if family in ("llama", "mistral"):
         return LMConfig(attention_bias=False, **base)
     if family == "gemma":
@@ -55,8 +64,8 @@ AVAILABLE_MODELS = {
     "llava_qwen": "active",
     "llava_llama": "supported",
     "llava_mistral": "supported",
-    "llava_mixtral": "roadmap (MoE)",
-    "llava_qwen_moe": "roadmap (MoE)",
+    "llava_mixtral": "supported",
+    "llava_qwen_moe": "disabled in reference",
     "llava_gemma": "supported",
     "llava_mpt": "roadmap",
 }

@@ -34,6 +34,15 @@ def _lm_layer_rules() -> dict:
         "gate_proj": {"kernel": P(None, "fsdp", "tp")},
         "up_proj": {"kernel": P(None, "fsdp", "tp")},
         "down_proj": {"kernel": P(None, "tp", "fsdp")},
+        # Mixtral MoE: expert axis on fsdp = expert parallelism (each device
+        # computes its experts for all tokens; the zero-masked weighted sum
+        # reduces with one psum), tp still splits the expert FFN.
+        "moe_gate": {"kernel": P(None, "fsdp", None)},
+        "experts": {
+            "gate_proj": {"kernel": P(None, "fsdp", None, "tp")},
+            "up_proj": {"kernel": P(None, "fsdp", None, "tp")},
+            "down_proj": {"kernel": P(None, "fsdp", "tp", None)},
+        },
     }
 
 
