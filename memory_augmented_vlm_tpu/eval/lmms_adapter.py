@@ -22,12 +22,31 @@ from memory_augmented_vlm_tpu.data.conversation import conv_templates
 from memory_augmented_vlm_tpu.data.tokenizer import tokenizer_image_token
 from memory_augmented_vlm_tpu.eval.builder import load_pretrained_model
 
-try:  # optional dependency
-    from lmms_eval.api.model import lmms as _LmmsBase  # type: ignore
-    from lmms_eval.api.registry import register_model  # type: ignore
+def _import_lmms():
+    try:
+        from lmms_eval.api.model import lmms as base  # type: ignore
+        from lmms_eval.api.registry import register_model as reg  # type: ignore
 
+        return base, reg
+    except ImportError:
+        return None
+
+
+_found = _import_lmms()
+if _found is None:
+    # fall back to the vendored API subset (third_party/lmms_eval)
+    import pathlib
+    import sys
+
+    _vendored = pathlib.Path(__file__).resolve().parents[2] / "third_party"
+    if (_vendored / "lmms_eval").is_dir() and str(_vendored) not in sys.path:
+        sys.path.append(str(_vendored))
+        _found = _import_lmms()
+
+if _found is not None:
+    _LmmsBase, register_model = _found
     _HAVE_LMMS = True
-except ImportError:  # standalone fallback
+else:  # standalone fallback
     _LmmsBase = object
 
     def register_model(*names):
@@ -83,6 +102,15 @@ class MavlmTpu(_LmmsBase):
         conv.append_message(conv.roles[0], question)
         conv.append_message(conv.roles[1], None)
         ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
+        # "until" keywords stop INSIDE the jitted decode loop
+        # (KeywordsStoppingCriteria, llava/mm_utils.py:372): encode each stop
+        # string to ids; the text-level truncation below stays as a backstop
+        # for stop strings that tokenize differently mid-stream.
+        stop_seqs = []
+        for stop in (until or []):
+            tok = self.tokenizer.encode(stop, add_special_tokens=False)
+            if tok:
+                stop_seqs.append(tuple(tok))
         out = self.model.generate(
             ids[None],
             images=[pixels] if pixels is not None else None,
@@ -91,10 +119,9 @@ class MavlmTpu(_LmmsBase):
             temperature=temperature,
             max_new_tokens=max_new_tokens,
             eos_token_id=self.tokenizer.convert_tokens_to_ids("<|im_end|>"),
+            stop_sequences=tuple(stop_seqs),
         )
         text = self.tokenizer.decode(out[0], skip_special_tokens=True).strip()
-        # keyword stopping (KeywordsStoppingCriteria semantics): truncate at
-        # the first occurrence of any stop string
         for stop in (until or []):
             if stop and stop in text:
                 text = text.split(stop)[0]
@@ -106,7 +133,7 @@ class MavlmTpu(_LmmsBase):
         for req in requests:
             contexts, gen_kwargs, doc_to_visual, doc_id, task, split = req.args
             visuals = doc_to_visual(self.task_dict[task][split][doc_id]) \
-                if hasattr(self, "task_dict") else None
+                if getattr(self, "task_dict", {}).get(task) else None
             vis = None
             modality = "video"
             if visuals:
@@ -126,8 +153,64 @@ class MavlmTpu(_LmmsBase):
             ))
         return results
 
+    def score(self, context: str, continuation: str, visuals=None,
+              modality: str = "video") -> Tuple[float, bool]:
+        """(sum log p(continuation | context, visuals), is_greedy) — the
+        lmms-eval `loglikelihood` contract for one request."""
+        import jax.numpy as jnp
+
+        from memory_augmented_vlm_tpu.models import vlm as vlm_mod
+
+        pixels = None
+        if visuals is not None:
+            frames = np.asarray(visuals)
+            if modality == "video" and frames.shape[0] > self.max_frames_num:
+                idx = np.linspace(0, frames.shape[0] - 1,
+                                  self.max_frames_num).astype(int)
+                frames = frames[idx]
+            pixels = self.image_processor.preprocess(frames)
+            if constants.DEFAULT_IMAGE_TOKEN not in context:
+                context = constants.DEFAULT_IMAGE_TOKEN + "\n" + context
+        conv = conv_templates[self.conv_template].copy()
+        conv.append_message(conv.roles[0], context)
+        conv.append_message(conv.roles[1], None)
+        prompt = conv.get_prompt()
+        ids_ctx = tokenizer_image_token(prompt, self.tokenizer)
+        ids_full = tokenizer_image_token(prompt + continuation, self.tokenizer)
+        cont_ids = np.asarray(ids_full[len(ids_ctx):], np.int64)
+        if cont_ids.size == 0:
+            return 0.0, True
+        embeds = self.model._row_embeds(
+            np.asarray(ids_full, np.int64),
+            pixels if pixels is not None else None,
+            modality, None)
+        return vlm_mod.score_continuation(
+            self.model.params, self.model.cfg, embeds, cont_ids)
+
     def loglikelihood(self, requests) -> List[Tuple[float, bool]]:
-        raise NotImplementedError("mavlm_tpu supports generate_until tasks")
+        """lmms-eval protocol: requests carry
+        (contexts, doc_to_target, doc_to_visual, doc_id, task, split)."""
+        results = []
+        for req in requests:
+            contexts, doc_to_target, doc_to_visual, doc_id, task, split = req.args
+            doc = (self.task_dict[task][split][doc_id]
+                   if getattr(self, "task_dict", {}).get(task) else None)
+            continuation = (doc_to_target(doc) if callable(doc_to_target)
+                            else str(doc_to_target))
+            visuals = doc_to_visual(doc) if (doc is not None and
+                                             callable(doc_to_visual)) else None
+            vis = None
+            modality = "video"
+            if visuals:
+                first = visuals[0]
+                if hasattr(first, "convert"):
+                    vis = np.stack([np.asarray(v.convert("RGB")) for v in visuals])
+                    modality = "image" if len(visuals) == 1 else "video"
+                else:
+                    vis = np.asarray(first)
+            results.append(self.score(contexts, continuation, visuals=vis,
+                                      modality=modality))
+        return results
 
     def generate_until_multi_round(self, requests):
         raise NotImplementedError

@@ -82,21 +82,37 @@ class MavlmForCausalLM:
         do_sample: bool = False,
         temperature: float = 0.0,
         top_p: Optional[float] = None,
+        top_k: Optional[int] = None,
+        repetition_penalty: float = 1.0,
         num_beams: int = 1,
         max_new_tokens: int = 128,
         eos_token_id: Optional[Union[int, Sequence[int]]] = None,
+        stop_sequences: Optional[Sequence[Sequence[int]]] = None,
+        rng_seed: int = 0,
         **kwargs,
     ) -> np.ndarray:
-        """Single-sample multimodal generate (batch of 1, like the reference
-        eval path). Returns (1, n_new) generated ids (no prompt echo —
-        matching the reference model's `generate` which receives
-        inputs_embeds and returns only new tokens)."""
-        ids = _to_numpy(input_ids).astype(np.int64)
-        if ids.ndim == 2:
-            assert ids.shape[0] == 1, "batch>1 eval uses data parallelism"
-            ids = ids[0]
+        """Multimodal generate with HF sampling semantics. Returns
+        (B, n_new) generated ids (no prompt echo — matching the reference
+        model's `generate`, which receives inputs_embeds and returns only
+        new tokens; llava_qwen.py:116-136).
+
+        Batch>1: each row of `input_ids` is spliced with its own image(s)
+        (per-row entry of `images`/`image_sizes`/`modalities`) and the rows
+        are right-padded to one bucket — the functional equivalent of HF's
+        left-padding. `stop_sequences` carries "until"-style keyword token
+        ids (KeywordsStoppingCriteria, llava/mm_utils.py:372); matching
+        inside the jitted loop, so no decode-loop Python round trips.
+        """
+        if num_beams != 1:
+            raise NotImplementedError(
+                "beam search is out of scope (reference eval recipes use "
+                "greedy/sampling; num_beams=1)")
+        ids_arr = _to_numpy(input_ids).astype(np.int64)
+        if ids_arr.ndim == 1:
+            ids_arr = ids_arr[None]
+        batch = ids_arr.shape[0]
         if isinstance(modalities, str):
-            modalities = [modalities]
+            modalities = [modalities] * batch
 
         eos: tuple
         if eos_token_id is None:
@@ -106,6 +122,63 @@ class MavlmForCausalLM:
         else:
             eos = tuple(eos_token_id)
 
+        # honor attention_mask for pre-left-padded HF-style batches
+        rows = []
+        for b in range(batch):
+            row = ids_arr[b]
+            if attention_mask is not None:
+                m = _to_numpy(attention_mask)[b].astype(bool)
+                row = row[m]
+            rows.append(row)
+
+        embeds_rows = [
+            self._row_embeds(
+                rows[b],
+                None if images is None else (
+                    images[b] if isinstance(images, (list, tuple)) else images),
+                modalities[b] if b < len(modalities) else modalities[-1],
+                image_sizes[b:b + 1] if image_sizes else None,
+            )
+            for b in range(batch)
+        ]
+
+        kn = dict(
+            max_new_tokens=max_new_tokens,
+            eos_token_ids=eos,
+            do_sample=bool(do_sample),
+            temperature=float(temperature) if do_sample else 0.0,
+            top_p=float(top_p) if (do_sample and top_p is not None) else 1.0,
+            top_k=int(top_k) if (do_sample and top_k) else 0,
+            repetition_penalty=float(repetition_penalty),
+            stop_sequences=tuple(tuple(int(t) for t in s)
+                                 for s in (stop_sequences or ())),
+            rng=jax.random.key(rng_seed),
+        )
+        if batch == 1:
+            out = vlm.generate(self.params, self.cfg, embeds_rows[0], **kn)
+            n = int(out.num_tokens)
+            return np.asarray(out.tokens)[:n][None, :]
+
+        lens = [int(e.shape[0]) for e in embeds_rows]
+        smax = ((max(lens) + 127) // 128) * 128
+        h = embeds_rows[0].shape[-1]
+        stacked = jnp.stack([
+            jnp.pad(e, ((0, smax - e.shape[0]), (0, 0))) for e in embeds_rows
+        ])
+        out = vlm.generate_batched(
+            self.params, self.cfg, stacked, jnp.asarray(lens, jnp.int32), **kn)
+        nums = np.asarray(out.num_tokens)
+        toks = np.asarray(out.tokens)
+        width = max(1, int(nums.max()))
+        result = np.zeros((batch, width), np.int64)
+        for b in range(batch):
+            result[b, :nums[b]] = toks[b, :nums[b]]
+        return result
+
+    def _row_embeds(self, ids: np.ndarray, images, modality: str,
+                    image_sizes) -> "jnp.ndarray":
+        """Splice one sample's text ids with its visual stream -> (S, H)."""
+        modalities = [modality]
         if images is None or constants.IMAGE_TOKEN_INDEX not in ids:
             embeds = jnp.asarray(
                 vlm.qwen2.embed_tokens(
@@ -172,15 +245,4 @@ class MavlmForCausalLM:
                     jnp.asarray(ids[pos + 1 :], jnp.int32),
                     self.cfg.lm,
                 )
-
-        temp = float(temperature) if do_sample else 0.0
-        out = vlm.generate(
-            self.params, self.cfg, embeds,
-            max_new_tokens=max_new_tokens,
-            eos_token_ids=eos,
-            temperature=temp,
-        )
-        n = int(out.num_tokens)
-        tokens = np.asarray(out.tokens)[:n]
-        # strip trailing eos to mirror HF skip_special_tokens decoding
-        return tokens[None, :]
+        return embeds

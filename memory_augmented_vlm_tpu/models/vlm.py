@@ -35,6 +35,7 @@ from memory_augmented_vlm_tpu.models import encoders as encoders_mod
 from memory_augmented_vlm_tpu.models import memory as memory_mod
 from memory_augmented_vlm_tpu.models import projector as projector_mod
 from memory_augmented_vlm_tpu.models import qwen2
+from memory_augmented_vlm_tpu.models import sampling
 from memory_augmented_vlm_tpu.models.position_encoding import add_temporal_pe
 from memory_augmented_vlm_tpu.models.position_encoding import init_params as pe_init
 from memory_augmented_vlm_tpu.ops.pooling import spatial_pool_2x2
@@ -236,59 +237,133 @@ def splice_image_embeds(
 # ---------------------------------------------------------------------------
 
 class GenerateResult(NamedTuple):
-    tokens: jax.Array   # (max_new,) int32, padded with pad_id after EOS
-    num_tokens: jax.Array  # () int32
+    tokens: jax.Array      # (max_new,) or (B, max_new) int32, 0-padded after stop
+    num_tokens: jax.Array  # () or (B,) int32 — includes any stop keyword tokens
 
 
 def _prefill_and_decode(
     params, cfg: VLMConfig, embeds: jax.Array, valid_len: jax.Array,
-    max_new_tokens: int, eos_ids: jax.Array, temperature: float, rng: jax.Array,
+    eos_ids: jax.Array, stop_seqs: jax.Array, stop_lens: jax.Array,
+    rng: jax.Array,
+    *, max_new_tokens: int, temperature: float, top_p: float, top_k: int,
+    repetition_penalty: float, do_sample: bool,
 ):
-    """jit-compiled core: embeds (1, Smax, H) right-padded, returns tokens."""
+    """jit-compiled core: embeds (B, Smax, H) right-padded per row.
+
+    Matches the reference's HF-generate path (llava_qwen.py:116-136 ->
+    GenerationMixin.sample/greedy + KeywordsStoppingCriteria,
+    llava/mm_utils.py:372): repetition penalty over generated ids,
+    temperature/top-k/top-p warping, per-row eos and keyword stopping.
+    Right-pad + per-row valid_len is the functional equivalent of HF's
+    left-padding (RoPE positions and last-valid-logit selection are per row).
+    """
     lm = params["language_model"]
-    smax = embeds.shape[1]
+    b, smax = embeds.shape[0], embeds.shape[1]
     positions = jnp.arange(smax)[None]
     hidden, cache = qwen2.forward(
         lm, cfg.lm, embeds, positions, valid_len=valid_len,
         cache_max_len=smax + max_new_tokens,
     )
-    # logits at the last *valid* position
+    # logits at the last *valid* position per row
     last = jnp.take_along_axis(hidden, (valid_len - 1)[:, None, None], axis=1)
-    logits = qwen2.unembed(lm, cfg.lm, last)[:, 0]  # (1, V)
+    logits = qwen2.unembed(lm, cfg.lm, last)[:, 0]  # (B, V)
 
-    def sample(logits, key):
-        if temperature == 0.0:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
+    sampled = do_sample and temperature > 0.0
+    track_presence = repetition_penalty != 1.0
+    lstop = max(int(stop_seqs.shape[1]), 1)
+
+    def pick(logits, presence, key):
+        warped = sampling.process_logits(
+            logits, presence,
+            temperature=temperature if sampled else 1.0,
+            top_k=top_k if sampled else 0,
+            top_p=top_p if sampled else 1.0,
+            repetition_penalty=repetition_penalty,
+        )
+        if sampled:
+            return jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
+        return jnp.argmax(warped, axis=-1).astype(jnp.int32)
 
     def cond(state):
-        step, done, *_ = state
-        return jnp.logical_and(step < max_new_tokens, jnp.logical_not(done))
+        return jnp.logical_and(state["step"] < max_new_tokens,
+                               jnp.logical_not(jnp.all(state["done"])))
 
     def body(state):
-        step, done, logits, cache, tokens, key = state
-        key, sub = jax.random.split(key)
-        tok = sample(logits, sub)  # (1,)
-        tokens = tokens.at[step].set(tok[0])
-        done = jnp.any(tok[0] == eos_ids)
+        step, done = state["step"], state["done"]
+        key, sub = jax.random.split(state["key"])
+        tok = pick(state["logits"], state.get("presence"), sub)  # (B,)
+        # rows already done keep emitting pad(0) without extending anything
+        tok = jnp.where(done, 0, tok)
+        tokens = state["tokens"].at[:, step].set(tok)
+        recent = jnp.concatenate(
+            [state["recent"][:, 1:], tok[:, None]], axis=1)
+        hit_eos = jnp.any(tok[:, None] == eos_ids[None, :], axis=-1)
+        hit_kw = sampling.stop_sequence_hit(recent, stop_seqs, stop_lens,
+                                            state["num"] + 1)
+        newly_done = ~done & (hit_eos | hit_kw)
+        num = jnp.where(done, state["num"], state["num"] + 1)
+        done = done | newly_done
         emb = qwen2.embed_tokens(lm, tok[:, None], cfg.lm).astype(embeds.dtype)
-        hidden, cache = qwen2.decode_step(lm, cfg.lm, emb, cache)
+        hidden, cache = qwen2.decode_step(lm, cfg.lm, emb, state["cache"])
         logits = qwen2.unembed(lm, cfg.lm, hidden)[:, 0]
-        return step + 1, done, logits, cache, tokens, key
+        out = dict(step=step + 1, done=done, num=num, logits=logits,
+                   cache=cache, tokens=tokens, recent=recent, key=key)
+        if track_presence:
+            out["presence"] = state["presence"].at[jnp.arange(b), tok].set(True)
+        return out
 
-    tokens0 = jnp.zeros((max_new_tokens,), jnp.int32)
-    state = (jnp.asarray(0), jnp.asarray(False), logits, cache, tokens0, rng)
-    step, done, _, _, tokens, _ = jax.lax.while_loop(cond, body, state)
-    return tokens, step
+    state = dict(
+        step=jnp.asarray(0), done=jnp.zeros((b,), bool),
+        num=jnp.zeros((b,), jnp.int32), logits=logits, cache=cache,
+        tokens=jnp.zeros((b, max_new_tokens), jnp.int32),
+        recent=jnp.full((b, lstop), -1, jnp.int32), key=rng,
+    )
+    if track_presence:
+        state["presence"] = jnp.zeros((b, cfg.lm.vocab_size), bool)
+    final = jax.lax.while_loop(cond, body, state)
+    num = jnp.where(final["done"], final["num"], max_new_tokens)
+    return final["tokens"], num
 
 
 @functools.lru_cache(maxsize=32)
-def _jit_generate(cfg: VLMConfig, max_new_tokens: int, temperature: float):
+def _jit_generate(cfg: VLMConfig, max_new_tokens: int, temperature: float,
+                  top_p: float, top_k: int, repetition_penalty: float,
+                  do_sample: bool):
     return jax.jit(
-        functools.partial(_prefill_and_decode, max_new_tokens=max_new_tokens,
-                          temperature=temperature),
+        functools.partial(
+            _prefill_and_decode, max_new_tokens=max_new_tokens,
+            temperature=temperature, top_p=top_p, top_k=top_k,
+            repetition_penalty=repetition_penalty, do_sample=do_sample),
         static_argnames=("cfg",),
     )
+
+
+def generate_batched(
+    params,
+    cfg: VLMConfig,
+    inputs_embeds: jax.Array,      # (B, Smax, H) right-padded
+    valid_len: jax.Array,          # (B,) int32
+    *,
+    max_new_tokens: int = 128,
+    eos_token_ids: Tuple[int, ...] = (151645,),  # <|im_end|>
+    do_sample: bool = False,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
+    stop_sequences: Tuple[Tuple[int, ...], ...] = (),
+    rng: Optional[jax.Array] = None,
+) -> GenerateResult:
+    """Batched HF-semantics decode over right-padded spliced sequences."""
+    eos = jnp.asarray(eos_token_ids, jnp.int32)
+    seqs, lens = sampling.pack_stop_sequences(stop_sequences)
+    rng = rng if rng is not None else jax.random.key(0)
+    fn = _jit_generate(cfg, max_new_tokens, float(temperature), float(top_p),
+                       int(top_k), float(repetition_penalty), bool(do_sample))
+    tokens, n = fn(params, cfg, inputs_embeds, valid_len, eos_ids=eos,
+                   stop_seqs=jnp.asarray(seqs), stop_lens=jnp.asarray(lens),
+                   rng=rng)
+    return GenerateResult(tokens=tokens, num_tokens=n)
 
 
 def generate(
@@ -298,20 +373,84 @@ def generate(
     *,
     max_new_tokens: int = 128,
     eos_token_ids: Tuple[int, ...] = (151645,),  # <|im_end|>
+    do_sample: bool = False,
     temperature: float = 0.0,
+    top_p: float = 1.0,
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
+    stop_sequences: Tuple[Tuple[int, ...], ...] = (),
     pad_to_multiple: int = 128,
     rng: Optional[jax.Array] = None,
 ) -> GenerateResult:
-    """Greedy / temperature decode for a single spliced sequence."""
+    """Greedy / sampled decode for a single spliced sequence."""
+    # pre-sampling-knobs callers passed temperature>0 to mean "sample"
+    if temperature > 0.0:
+        do_sample = True
     s = inputs_embeds.shape[0]
     smax = ((s + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple
     embeds = jnp.pad(inputs_embeds, ((0, smax - s), (0, 0)))[None]
-    valid = jnp.asarray([s], jnp.int32)
-    eos = jnp.asarray(eos_token_ids, jnp.int32)
-    rng = rng if rng is not None else jax.random.key(0)
-    fn = _jit_generate(cfg, max_new_tokens, temperature)
-    tokens, n = fn(params, cfg, embeds, valid, eos_ids=eos, rng=rng)
-    return GenerateResult(tokens=tokens, num_tokens=n)
+    out = generate_batched(
+        params, cfg, embeds, jnp.asarray([s], jnp.int32),
+        max_new_tokens=max_new_tokens, eos_token_ids=eos_token_ids,
+        do_sample=do_sample, temperature=temperature, top_p=top_p,
+        top_k=top_k, repetition_penalty=repetition_penalty,
+        stop_sequences=stop_sequences, rng=rng,
+    )
+    return GenerateResult(tokens=out.tokens[0], num_tokens=out.num_tokens[0])
+
+
+# ---------------------------------------------------------------------------
+# Log-likelihood scoring (lmms-eval `loglikelihood` protocol)
+# ---------------------------------------------------------------------------
+
+def _score_core(params, cfg: VLMConfig, embeds: jax.Array, valid_len: jax.Array,
+                cont_ids: jax.Array, cont_len: jax.Array):
+    """embeds (1, Smax, H) right-padded; the last `cont_len` valid positions
+    embed `cont_ids[:cont_len]` (right-padded to a static Tmax).  Returns
+    (sum log p(continuation | prefix), all-greedy flag) — the (float, bool)
+    pair lmms-eval's `loglikelihood` expects per request."""
+    lm = params["language_model"]
+    smax = embeds.shape[1]
+    positions = jnp.arange(smax)[None]
+    hidden, _ = qwen2.forward(lm, cfg.lm, embeds, positions, valid_len=valid_len)
+    logits = qwen2.unembed(lm, cfg.lm, hidden)[0]          # (Smax, V) fp32
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tmax = cont_ids.shape[0]
+    # continuation token j (0-based) sits at sequence index valid-cont_len+j;
+    # its predictive logits live one position earlier
+    idx = valid_len[0] - cont_len + jnp.arange(tmax) - 1   # (Tmax,)
+    idx = jnp.clip(idx, 0, smax - 1)
+    rows = jnp.take(logp, idx, axis=0)                     # (Tmax, V)
+    tok_logp = jnp.take_along_axis(rows, cont_ids[:, None], axis=-1)[:, 0]
+    mask = jnp.arange(tmax) < cont_len
+    total = jnp.sum(jnp.where(mask, tok_logp, 0.0))
+    greedy = jnp.all(jnp.where(mask, jnp.argmax(rows, axis=-1) == cont_ids, True))
+    return total, greedy
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_score(cfg: VLMConfig):
+    return jax.jit(_score_core, static_argnames=("cfg",))
+
+
+def score_continuation(
+    params,
+    cfg: VLMConfig,
+    inputs_embeds: jax.Array,   # (S, H) full spliced sequence incl. continuation
+    cont_ids: np.ndarray,       # (T,) continuation token ids (the last T tokens)
+    *,
+    pad_to_multiple: int = 128,
+) -> Tuple[float, bool]:
+    s = inputs_embeds.shape[0]
+    t = int(len(cont_ids))
+    smax = ((s + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple
+    tmax = ((t + 15) // 16) * 16
+    embeds = jnp.pad(inputs_embeds, ((0, smax - s), (0, 0)))[None]
+    cont = jnp.pad(jnp.asarray(cont_ids, jnp.int32), (0, tmax - t))
+    total, greedy = _jit_score(cfg)(
+        params, cfg, embeds, jnp.asarray([s], jnp.int32), cont,
+        jnp.asarray(t, jnp.int32))
+    return float(total), bool(greedy)
 
 
 # ---------------------------------------------------------------------------
