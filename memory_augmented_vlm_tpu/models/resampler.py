@@ -5,9 +5,9 @@ by `mm_resampler_type`; `None` -> identity, builder.py:21-34):
   - `masked_drop`  : random token masking at train time (masked_drop.py)
   - `spatial_pool` : 2-D pooling downsample (spatial_pool.py)
   - `perceiver`    : Flamingo-style latent resampler (perceiver.py)
-  - `qformer`      : BERT-style query transformer (qformer.py, compact
-                     functional reimplementation: learnable queries +
-                     self/cross attention blocks)
+  - `qformer`      : full BLIP-2 BERT Q-Former (qformer.py, 1,160 LoC) —
+                     models/qformer.py, loads reference-pretrained weights
+                     (parity: tests/test_qformer_parity.py)
 """
 
 from __future__ import annotations
@@ -45,7 +45,20 @@ def init_params(resampler_type: Optional[str], key: jax.Array, *,
         return {}
     if resampler_type == "spatial_pool":
         return {}
-    if resampler_type in ("perceiver", "qformer"):
+    if resampler_type == "qformer":
+        from memory_augmented_vlm_tpu.models import qformer as qformer_mod
+
+        qcfg = qformer_mod.QFormerConfig(
+            hidden_size=hidden if hidden % heads == 0 else 768,
+            num_hidden_layers=max(depth, 1) * 2,
+            num_attention_heads=heads,
+            intermediate_size=4 * (hidden if hidden % heads == 0 else 768),
+            encoder_width=hidden,
+            num_query_tokens=latents,
+            cross_attention_freq=max(depth, 1),
+        )
+        return qformer_mod.init_params(qcfg, key, dtype=dtype)
+    if resampler_type == "perceiver":
         layers = []
         for i in range(depth):
             lk = jax.random.split(ks[i], 8)
@@ -122,7 +135,19 @@ def forward(params, resampler_type: Optional[str], x: jax.Array, *,
             out = -(-side // pool_stride)
             img = bilinear_resize(img, out, out)
         return img.reshape(b, -1, h)
-    if resampler_type in ("perceiver", "qformer"):
+    if resampler_type == "qformer":
+        from memory_augmented_vlm_tpu.models import qformer as qformer_mod
+
+        qcfg = qformer_mod.QFormerConfig(
+            hidden_size=params["query_tokens"].shape[-1],
+            num_hidden_layers=len(params["layers"]),
+            num_attention_heads=heads,
+            intermediate_size=params["layers"][0]["ffn_q"]["intermediate"]["kernel"].shape[-1],
+            encoder_width=params["ln_vision"]["weight"].shape[0],
+            num_query_tokens=params["query_tokens"].shape[0],
+        )
+        return qformer_mod.forward(params, qcfg, x)
+    if resampler_type == "perceiver":
         b = x.shape[0]
         lat = jnp.broadcast_to(params["latents"][None], (b,) + params["latents"].shape)
         lat = lat.astype(x.dtype)
