@@ -72,8 +72,19 @@ def build_pipeline(cfg: VLMConfig):
 
 
 def main():
+    import dataclasses
+
+    from memory_augmented_vlm_tpu.models import siglip
+
     cfg = VLMConfig.onevision_0_5b()
+    # serving config: frozen tower runs with static-scale prequantized int8
+    # weights on the int8 MXU (the reference's load_8bit capability,
+    # builder.py:30-34; measured 415 -> 345 ms for the 64-frame tower with
+    # output drift in the same 1e-2 class as bf16-MXU, PERFORMANCE.md)
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, tower_int8=True))
     params = vlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+    params["vision_tower"] = siglip.prequantize_int8(params["vision_tower"])
     pipeline, nseg = build_pipeline(cfg)
 
     rng = np.random.default_rng(0)

@@ -205,6 +205,13 @@ def load_pretrained_model(
     }
     params.update(_memory_and_pe(sd, cfg, dtype))
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    if raw.get("tower_int8") and cfg.pipeline.mm_vision_tower.startswith(
+            ("google/siglip", "siglip")):
+        # static-scale prequantized int8 tower weights (load_8bit): quantize
+        # once at load so inference hits the int8 MXU path, not AQT
+        from memory_augmented_vlm_tpu.models import siglip as _siglip
+
+        params["vision_tower"] = _siglip.prequantize_int8(params["vision_tower"])
 
     tokenizer = None
     try:

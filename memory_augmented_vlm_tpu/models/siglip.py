@@ -61,7 +61,44 @@ def init_params(cfg: VisionConfig, key: jax.Array, dtype=jnp.float32):
     }
 
 
+def prequantize_int8(params):
+    """Static-scale int8 weights for the frozen tower (load_8bit equivalent,
+    reference builder.py:30-34). Each stacked dense kernel (L, K, N) becomes
+    symmetric per-output-channel int8 + an (L, N) f32 scale; at runtime the
+    activations are row-quantized once and the matmul runs on the int8 MXU
+    (measured 101.7 TF/s vs 78.6 bf16 at tower shapes on v5e).
+
+    Per-channel weight scales keep the tower's fp32-parity error at the
+    1e-2 class (same as bf16-MXU), pinned by tests/test_quant.py."""
+    layers = params["layers"]
+    new_layers = dict(layers)
+    for name in ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2"):
+        w = layers[name]["kernel"].astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=1), 1e-12) / 127.0  # (L, N)
+        wq = jnp.clip(jnp.round(w / scale[:, None, :]), -127, 127).astype(jnp.int8)
+        new_layers[name] = {"kernel_int8": wq, "scale": scale,
+                            "bias": layers[name]["bias"]}
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
 def _linear(p, x, quantized: bool = False):
+    if "kernel_int8" in p:
+        # prequantized static-scale path: dynamic per-row activation quant +
+        # int8 x int8 MXU matmul through plain XLA dot_general (measured
+        # 101.7 TF/s vs 78.6 bf16 at tower shapes; the Pallas variant loses
+        # to weight re-reads per M-tile, and AQT re-quantizes weights per
+        # call — both slower than bf16 in context)
+        from memory_augmented_vlm_tpu.ops.pallas_int8 import quantize_rows
+
+        xq, sx = quantize_rows(x)
+        acc = jax.lax.dot_general(
+            xq, p["kernel_int8"], (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = acc.astype(jnp.float32) * sx * p["scale"]
+        return out.astype(x.dtype) + p["bias"]
     if quantized:
         from memory_augmented_vlm_tpu.ops.quant import int8_einsum_io
 

@@ -40,3 +40,27 @@ def test_load_8bit_flag_sets_config(tmp_path):
     _, model, _, _ = load_pretrained_model(str(d), None, "llava_qwen",
                                            torch_dtype="float32", load_8bit=True)
     assert model.cfg.pipeline.tower_int8 is True
+
+
+def test_prequantized_int8_tower_drift_bounded():
+    """Static-scale int8 tower (load_8bit serving mode): output drift vs the
+    fp32 tower stays in the 1e-2 RMS class (same tolerance class as bf16-MXU;
+    numerics rule in CLAUDE.md)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from memory_augmented_vlm_tpu.config import VisionConfig
+    from memory_augmented_vlm_tpu.models import siglip
+
+    cfg = VisionConfig(image_size=56)
+    params = siglip.init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    qparams = siglip.prequantize_int8(params)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 56, 56, 3)),
+                    jnp.float32)
+    ref = np.asarray(siglip.forward(params, cfg, x), np.float32)
+    got = np.asarray(siglip.forward(qparams, cfg, x, int8=True), np.float32)
+    rms_ratio = np.abs(got - ref).std() / ref.std()
+    assert rms_ratio < 0.05, rms_ratio
+    # quantized params must be genuinely int8 (memory halves)
+    assert qparams["layers"]["fc1"]["kernel_int8"].dtype == jnp.int8
