@@ -56,6 +56,8 @@ TUNABLE_PART_PREFIXES = {
     "mm_mlp_adapter": ("mm_projector",),
     "mm_vision_tower": ("vision_tower",),
     "mm_resampler": ("vision_resampler",),
+    # PPO value head (trl AutoModelForCausalLMWithValueHead trains it jointly)
+    "value_head": ("value_head",),
 }
 
 
