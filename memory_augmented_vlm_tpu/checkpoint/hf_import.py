@@ -187,6 +187,41 @@ def convert_qwen2(sd: Dict[str, np.ndarray], cfg) -> dict:
     return params
 
 
+def convert_mpt(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """HF MPT weights -> models/qwen2.py param pytree (alibi/layernorm/
+    ungated-MLP flags). HF layout (MptForCausalLM): `transformer.wte`,
+    `transformer.blocks.{i}.norm_1/attn.Wqkv/attn.out_proj/norm_2/
+    ffn.up_proj/ffn.down_proj`, `transformer.norm_f`; fused Wqkv splits
+    into equal q/k/v thirds (MPT is MHA: n_kv == n_heads)."""
+    sd = {k: v for k, v in sd.items()}
+    if any(k.startswith("model.transformer") for k in sd):
+        sd = {re.sub(r"^model\.", "", k): v for k, v in sd.items()}
+    L = cfg.num_hidden_layers
+    h = cfg.hidden_size
+    qs, ks_, vs = [], [], []
+    for i in range(L):
+        wqkv = sd[f"transformer.blocks.{i}.attn.Wqkv.weight"]  # (3H, H)
+        qs.append(wqkv[:h].T)
+        ks_.append(wqkv[h:2 * h].T)
+        vs.append(wqkv[2 * h:].T)
+    p = "transformer.blocks.{}."
+    layers = {
+        "input_layernorm": _stack(sd, p + "norm_1.weight", L),
+        "post_attention_layernorm": _stack(sd, p + "norm_2.weight", L),
+        "q_proj": {"kernel": np.stack(qs).astype(np.float32)},
+        "k_proj": {"kernel": np.stack(ks_).astype(np.float32)},
+        "v_proj": {"kernel": np.stack(vs).astype(np.float32)},
+        "o_proj": {"kernel": _stack(sd, p + "attn.out_proj.weight", L, transpose=True)},
+        "up_proj": {"kernel": _stack(sd, p + "ffn.up_proj.weight", L, transpose=True)},
+        "down_proj": {"kernel": _stack(sd, p + "ffn.down_proj.weight", L, transpose=True)},
+    }
+    return {
+        "embed_tokens": sd["transformer.wte.weight"].astype(np.float32),
+        "layers": layers,
+        "norm": sd["transformer.norm_f.weight"].astype(np.float32),
+    }
+
+
 def convert_siglip(sd: Dict[str, np.ndarray], cfg) -> dict:
     """HF SigLIP vision weights -> models/siglip.py param pytree.
 

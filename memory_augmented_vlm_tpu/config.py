@@ -42,6 +42,13 @@ class LMConfig:
     mlp_act: str = "silu"
     norm_plus_one: bool = False
     scale_embeddings: bool = False
+    # family variations (MPT, llava/model/language_model/llava_mpt.py):
+    # ALiBi position bias instead of RoPE, bias-free LayerNorm instead of
+    # RMSNorm, ungated up->act->down MLP instead of SwiGLU
+    position_embedding: str = "rope"   # "rope" | "alibi"
+    norm_type: str = "rmsnorm"         # "rmsnorm" | "layernorm"
+    mlp_gated: bool = True
+    alibi_bias_max: int = 8
     # sparse MoE MLP (Mixtral, llava/model/language_model/llava_mixtral.py):
     # 0 experts = dense MLP; top-k routing with renormalized softmax weights
     num_local_experts: int = 0

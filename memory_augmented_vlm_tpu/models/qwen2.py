@@ -89,7 +89,8 @@ def init_params(cfg: LMConfig, key: jax.Array, dtype=jnp.float32):
             "down_proj": {"kernel": dense(ks[9], (L, E, I, H))},
         }
     else:
-        params["layers"]["gate_proj"] = {"kernel": dense(ks[5], (L, H, I))}
+        if cfg.mlp_gated:
+            params["layers"]["gate_proj"] = {"kernel": dense(ks[5], (L, H, I))}
         params["layers"]["up_proj"] = {"kernel": dense(ks[6], (L, H, I))}
         params["layers"]["down_proj"] = {"kernel": dense(ks[7], (L, I, H))}
     if not cfg.tie_word_embeddings:
@@ -117,16 +118,23 @@ def unembed(params, cfg: LMConfig, hidden: jax.Array) -> jax.Array:
                       preferred_element_type=jnp.float32)
 
 
-def _dense_mlp(lp, x, act: str = "silu"):
-    gate = jnp.einsum("bsh,hi->bsi", x, lp["gate_proj"]["kernel"])
-    up = jnp.einsum("bsh,hi->bsi", x, lp["up_proj"]["kernel"])
+def _act(x, act: str):
     if act == "silu":
-        g = jax.nn.silu(gate)
-    elif act in ("gelu", "gelu_pytorch_tanh"):
-        g = jax.nn.gelu(gate, approximate=act == "gelu_pytorch_tanh")
+        return jax.nn.silu(x)
+    if act in ("gelu", "gelu_pytorch_tanh"):
+        return jax.nn.gelu(x, approximate=act == "gelu_pytorch_tanh")
+    raise ValueError(act)
+
+
+def _dense_mlp(lp, x, act: str = "silu", gated: bool = True):
+    up = jnp.einsum("bsh,hi->bsi", x, lp["up_proj"]["kernel"])
+    if gated:
+        gate = jnp.einsum("bsh,hi->bsi", x, lp["gate_proj"]["kernel"])
+        hidden = _act(gate, act) * up
     else:
-        raise ValueError(act)
-    return jnp.einsum("bsi,ih->bsh", g * up, lp["down_proj"]["kernel"])
+        # MPT MptMLP: up -> act -> down, no gate
+        hidden = _act(up, act)
+    return jnp.einsum("bsi,ih->bsh", hidden, lp["down_proj"]["kernel"])
 
 
 def _moe_mlp(lp, x, cfg: "LMConfig"):
@@ -159,11 +167,34 @@ def _moe_mlp(lp, x, cfg: "LMConfig"):
 def _layer_mlp(lp, x, act: str = "silu", cfg: Optional["LMConfig"] = None):
     if cfg is not None and cfg.num_local_experts > 0:
         return _moe_mlp(lp, x, cfg)
-    return _dense_mlp(lp, x, act)
+    return _dense_mlp(lp, x, act, gated=cfg.mlp_gated if cfg else True)
 
 
 def _norm(x, w, cfg: LMConfig):
+    if cfg.norm_type == "layernorm":
+        # MPT: bias-free LayerNorm (no_bias=True in the HF config)
+        from memory_augmented_vlm_tpu.ops.norms import layer_norm
+
+        return layer_norm(x, w, jnp.zeros_like(w), cfg.rms_norm_eps)
     return rms_norm(x, (1.0 + w) if cfg.norm_plus_one else w, cfg.rms_norm_eps)
+
+
+def alibi_slopes(cfg: LMConfig) -> jax.Array:
+    """HF `build_mpt_alibi_tensor` head slopes (alibi_bias_max=8).
+
+    The per-row ALiBi offset is softmax-shift-invariant, so attention uses
+    the row-free form bias[h, j] = slopes[h] * j (equivalent probabilities
+    to HF's (j - S + 1) form)."""
+    import math
+
+    n = cfg.num_attention_heads
+    next_pow2 = 2 ** math.ceil(math.log2(n))
+    base = jnp.arange(1, next_pow2 + 1, dtype=jnp.float32)
+    base = base * (cfg.alibi_bias_max / next_pow2)
+    slopes = 1.0 / jnp.power(2.0, base)
+    if next_pow2 != n:
+        slopes = jnp.concatenate([slopes[1::2], slopes[0::2]])[:n]
+    return slopes
 
 
 def _qkv(lp, cfg: LMConfig, x):
@@ -215,20 +246,29 @@ def forward(
     Returns (hidden_states (B, S, H) after final norm, KVCache).
     """
     b, s, _ = inputs_embeds.shape
-    inv_freq = compute_rope_freqs(
-        cfg.head_dim, cfg.rope_theta,
-        scaling_type=cfg.rope_scaling_type,
-        scaling_factor=cfg.rope_scaling_factor,
-        max_position_embeddings=cfg.max_position_embeddings,
-        # dynamic-NTK basis must agree between prefill and decode: use the
-        # full cache bound when decode will continue from this prefill
-        seq_len=cache_max_len or s,
-    )
-    cos, sin = rope_cos_sin(positions, inv_freq)
+    use_alibi = cfg.position_embedding == "alibi"
+    if use_alibi:
+        # row-free ALiBi bias slopes[h] * j (see alibi_slopes); shape (1,H,1,S)
+        alibi_bias = (alibi_slopes(cfg)[None, :, None, None]
+                      * jnp.arange(s, dtype=jnp.float32)[None, None, None, :])
+        cos = sin = None
+    else:
+        inv_freq = compute_rope_freqs(
+            cfg.head_dim, cfg.rope_theta,
+            scaling_type=cfg.rope_scaling_type,
+            scaling_factor=cfg.rope_scaling_factor,
+            max_position_embeddings=cfg.max_position_embeddings,
+            # dynamic-NTK basis must agree between prefill and decode: use the
+            # full cache bound when decode will continue from this prefill
+            seq_len=cache_max_len or s,
+        )
+        cos, sin = rope_cos_sin(positions, inv_freq)
 
     if valid_len is None:
         valid_len = jnp.full((b,), s, jnp.int32)
 
+    if memory_prompt is not None and use_alibi:
+        raise NotImplementedError("memory_prompt requires RoPE positions")
     if memory_prompt is not None:
         # Per-layer chunking (modeling_qwen2.py:1062-1078): the (T, H) prompt
         # splits into one chunk per injected layer; memory keys take positions
@@ -263,17 +303,25 @@ def forward(
         x = _norm(hidden, lp["input_layernorm"], cfg)
         if memory_prompt is None:
             q, k, v = _qkv(lp, cfg, x)
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
-            kq = repeat_kv(k, cfg.kv_groups)
-            vq = repeat_kv(v, cfg.kv_groups)
-            attn = flash_attention(
-                q, kq, vq,
-                causal=True,
-                kv_valid_len=valid_len,
-                force_reference=force_reference_attention,
-                differentiable=differentiable_attention,
-            )
+            if use_alibi:
+                kq = repeat_kv(k, cfg.kv_groups)
+                vq = repeat_kv(v, cfg.kv_groups)
+                kv_ok = jnp.arange(s)[None, None, None, :] < \
+                    valid_len[:, None, None, None]
+                attn = mha_attention(q, kq, vq, mask=kv_ok, causal=True,
+                                     bias=alibi_bias)
+            else:
+                q = apply_rope(q, cos, sin)
+                k = apply_rope(k, cos, sin)
+                kq = repeat_kv(k, cfg.kv_groups)
+                vq = repeat_kv(v, cfg.kv_groups)
+                attn = flash_attention(
+                    q, kq, vq,
+                    causal=True,
+                    kv_valid_len=valid_len,
+                    force_reference=force_reference_attention,
+                    differentiable=differentiable_attention,
+                )
         else:
             # memory chunk as extra (non-causal) keys/values, masked out on
             # layers without injection; sequence RoPE shifted by +t_chunk on
@@ -338,45 +386,63 @@ def decode_step(
     length+1.
     """
     b = token_embeds.shape[0]
-    inv_freq = compute_rope_freqs(
-        cfg.head_dim, cfg.rope_theta,
-        scaling_type=cfg.rope_scaling_type,
-        scaling_factor=cfg.rope_scaling_factor,
-        max_position_embeddings=cfg.max_position_embeddings,
-        seq_len=cache.k.shape[2],  # static cache bound (prefill used seq<=this)
-    )
+    use_alibi = cfg.position_embedding == "alibi"
     pos = cache.length  # (B,) — position of the new token
-    cos, sin = rope_cos_sin(pos[:, None], inv_freq)
+    if use_alibi:
+        smax = cache.k.shape[2]
+        alibi_bias = (alibi_slopes(cfg)[None, :, None, None]
+                      * jnp.arange(smax, dtype=jnp.float32)[None, None, None, :])
+        alibi_bias = jnp.broadcast_to(
+            alibi_bias, (b, cfg.num_attention_heads, 1, smax))
+        cos = sin = None
+    else:
+        inv_freq = compute_rope_freqs(
+            cfg.head_dim, cfg.rope_theta,
+            scaling_type=cfg.rope_scaling_type,
+            scaling_factor=cfg.rope_scaling_factor,
+            max_position_embeddings=cfg.max_position_embeddings,
+            seq_len=cache.k.shape[2],  # static cache bound (prefill used seq<=this)
+        )
+        cos, sin = rope_cos_sin(pos[:, None], inv_freq)
 
-    def layer_body(carry, xs):
-        hidden = carry
-        lp, layer_k, layer_v = xs
+    lp_all = params["layers"]
+
+    def layer_body(l, carry):
+        # fori_loop + dynamic_update_slice keeps the (L, B, Smax, Hkv, Dh)
+        # cache update in place; the previous scan-over-layers stacked fresh
+        # (k, v) ys, which re-wrote the whole cache every token (measured
+        # 3.31 -> 2.75 ms/token at 0.5B / 9.6k context)
+        hidden, kc, vc = carry
+        lp = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+            lp_all)
         residual = hidden
         x = _norm(hidden, lp["input_layernorm"], cfg)
         q, k, v = _qkv(lp, cfg, x)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        # write new kv at position cache.length; B=1 (the serving/eval case)
-        # takes dynamic_update_slice — XLA keeps it in place, whereas the
-        # batched scatter measured 4.9 -> 2.7 ms/token slower at 0.5B
+        if not use_alibi:
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
         if b == 1:
-            layer_k = jax.lax.dynamic_update_slice(layer_k, k, (0, pos[0], 0, 0))
-            layer_v = jax.lax.dynamic_update_slice(layer_v, v, (0, pos[0], 0, 0))
+            kc = jax.lax.dynamic_update_slice(kc, k[None], (l, 0, pos[0], 0, 0))
+            vc = jax.lax.dynamic_update_slice(vc, v[None], (l, 0, pos[0], 0, 0))
         else:
             batch_idx = jnp.arange(b)
-            layer_k = layer_k.at[batch_idx, pos].set(k[:, 0])
-            layer_v = layer_v.at[batch_idx, pos].set(v[:, 0])
-        attn = decode_attention(q, layer_k, layer_v, pos + 1, kv_groups=cfg.kv_groups)
+            kc = kc.at[l, batch_idx, pos].set(k[:, 0])
+            vc = vc.at[l, batch_idx, pos].set(v[:, 0])
+        layer_k = jax.lax.dynamic_index_in_dim(kc, l, 0, keepdims=False)
+        layer_v = jax.lax.dynamic_index_in_dim(vc, l, 0, keepdims=False)
+        attn = decode_attention(q, layer_k, layer_v, pos + 1,
+                                kv_groups=cfg.kv_groups,
+                                bias=alibi_bias if use_alibi else None)
         attn = attn.reshape(b, 1, -1)
         attn = jnp.einsum("bsd,dh->bsh", attn, lp["o_proj"]["kernel"])
         hidden = residual + attn
         residual = hidden
         x = _norm(hidden, lp["post_attention_layernorm"], cfg)
         hidden = residual + _layer_mlp(lp, x, cfg.mlp_act, cfg)
-        return hidden, (layer_k, layer_v)
+        return hidden, kc, vc
 
-    hidden, (new_k, new_v) = jax.lax.scan(
-        layer_body, token_embeds, (params["layers"], cache.k, cache.v)
-    )
+    hidden, new_k, new_v = jax.lax.fori_loop(
+        0, cfg.num_hidden_layers, layer_body, (token_embeds, cache.k, cache.v))
     hidden = _norm(hidden, params["norm"], cfg)
     return hidden, KVCache(k=new_k, v=new_v, length=cache.length + 1)

@@ -13,7 +13,7 @@ config fields / weight layouts each family uses:
   llava_gemma    : Gemma (gelu MLP + embed scaling)
   llava_qwen_moe : disabled in the reference (__init__.py:8 commented) —
                    refused here with the same status
-  llava_mpt      : MPT — roadmap
+  llava_mpt      : MPT (ALiBi, bias-free LayerNorm, ungated gelu MLP)
 """
 
 from __future__ import annotations
@@ -57,6 +57,33 @@ def lm_config_for(model_type: str, raw: dict) -> LMConfig:
                or "gelu_pytorch_tanh")
         return LMConfig(attention_bias=False, mlp_act=act, norm_plus_one=True,
                         scale_embeddings=True, **base)
+    if family == "mpt":
+        # HF MptConfig names: d_model/n_heads/n_layers/expansion_ratio
+        d = raw.get("d_model", raw.get("hidden_size", 896))
+        n = raw.get("n_heads", raw.get("num_attention_heads", 14))
+        attn_cfg = raw.get("attn_config") or {}
+        if isinstance(attn_cfg, dict):
+            bias_max = attn_cfg.get("alibi_bias_max", 8)
+        else:
+            bias_max = getattr(attn_cfg, "alibi_bias_max", 8)
+        return LMConfig(
+            vocab_size=raw.get("vocab_size", 50368),
+            hidden_size=d,
+            intermediate_size=raw.get("expansion_ratio", 4) * d,
+            num_hidden_layers=raw.get("n_layers", raw.get("num_hidden_layers", 24)),
+            num_attention_heads=n,
+            num_key_value_heads=n,
+            head_dim=d // n,
+            max_position_embeddings=raw.get("max_seq_len", 2048),
+            rms_norm_eps=raw.get("layer_norm_epsilon", 1e-5),
+            tie_word_embeddings=True,
+            attention_bias=False,
+            position_embedding="alibi",
+            norm_type="layernorm",
+            mlp_gated=False,
+            mlp_act="gelu",
+            alibi_bias_max=bias_max,
+        )
     raise ValueError(f"unsupported model family: {model_type}")
 
 
@@ -67,5 +94,5 @@ AVAILABLE_MODELS = {
     "llava_mixtral": "supported",
     "llava_qwen_moe": "disabled in reference",
     "llava_gemma": "supported",
-    "llava_mpt": "roadmap",
+    "llava_mpt": "supported",
 }

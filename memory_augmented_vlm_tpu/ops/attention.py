@@ -33,11 +33,14 @@ def mha_attention(
     *,
     causal: bool = False,
     scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Batched multi-head attention.
 
     q: (B, Sq, H, D); k, v: (B, Sk, H, D)   [H may differ via GQA — repeat first]
     mask: broadcastable to (B, H, Sq, Sk); True/nonzero = attend.
+    bias: optional additive logits bias broadcastable to (B, H, Sq, Sk)
+          (ALiBi for the MPT family), applied after scaling, before masking.
     Returns (B, Sq, H, D) in q.dtype.
     """
     dtype = q.dtype
@@ -52,6 +55,8 @@ def mha_attention(
                         preferred_element_type=dtype if dtype == jnp.bfloat16
                         else jnp.float32)
     logits = (logits * scale).astype(jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
     if causal:
         sq, sk = q.shape[1], k.shape[1]
         # queries are the last sq positions of the sk-long sequence
@@ -82,12 +87,15 @@ def decode_attention(
     *,
     kv_groups: int = 1,
     scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Single-position attention against a padded KV cache.
 
     q:        (B, 1, H, D)
     k_cache:  (B, Smax, Hkv, D) — only the first `cache_len` entries are valid.
     cache_len:(B,) int32 — number of valid cache positions (including current).
+    bias:     optional additive logits bias broadcastable to (B, H, 1, Smax)
+              (ALiBi), reshaped internally to the GQA-grouped layout.
     """
     dtype = q.dtype
     b, _, h, d = q.shape
@@ -100,6 +108,10 @@ def decode_attention(
     logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k_cache,
                         preferred_element_type=jnp.float32)
     logits = logits * scale
+    if bias is not None:
+        smax = k_cache.shape[1]
+        logits = logits + bias.astype(jnp.float32).reshape(
+            b, hkv, kv_groups, 1, smax)
     valid = jnp.arange(k_cache.shape[1])[None, None, None, None, :] < (
         cache_len[:, None, None, None, None])
     logits = jnp.where(valid, logits, NEG_INF)
