@@ -1,0 +1,186 @@
+"""Real-checkpoint golden harness.
+
+One command that, given a checkpoint directory (a real OneVision/memory
+checkpoint or the synthetic test fixture), pins per-stage goldens through
+the flagship video pipeline and re-checks them later:
+
+  python -m memory_augmented_vlm_tpu.tools.pin_goldens \
+      --model-path /path/to/ckpt --out goldens.json          # pin
+  python -m memory_augmented_vlm_tpu.tools.pin_goldens \
+      --model-path /path/to/ckpt --check goldens.json        # verify
+
+Stages pinned (the BASELINE.md invariants + SURVEY.md §3.1 spec):
+  - tower features: shape + mean/std/first-8 values  (siglip_encoder.py:583)
+  - pooled projected tokens (2x2 pool output)        (llava_arch.py:277-297)
+  - memory bank after the recurrent scan             (MemoryController.py:118)
+  - spliced sequence length + the 64-frame visual-token count invariant
+    (10 + nseg*8*P + 1 + 9 + nfine*P + 1)            (llava_arch.py:708-734)
+  - first-token logits: argmax id + top-8 values     (llava_qwen.py:116)
+
+Deterministic inputs (seeded synthetic frames at the tower's native size) so
+goldens are reproducible the moment real weights land.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _stats(x) -> dict:
+    x = np.asarray(x, np.float32)
+    return {
+        "shape": list(x.shape),
+        "mean": float(x.mean()),
+        "std": float(x.std()),
+        "first8": [float(v) for v in x.reshape(-1)[:8]],
+    }
+
+
+def compute_goldens(model_path: str, num_frames: int = 64, seed: int = 0) -> dict:
+    from memory_augmented_vlm_tpu.eval.builder import load_pretrained_model
+    from memory_augmented_vlm_tpu.models import memory as memory_mod
+    from memory_augmented_vlm_tpu.models import qwen2, vlm
+    from memory_augmented_vlm_tpu.ops.pooling import spatial_pool_2x2
+
+    tokenizer, model, image_processor, context_len = load_pretrained_model(
+        model_path, None, "llava_qwen")
+    params, cfg = model.params, model.cfg
+
+    rng = np.random.default_rng(seed)
+    size = cfg.vision.image_size
+    frames = rng.integers(0, 255, (num_frames, size, size, 3), dtype=np.uint8)
+    pixels = jnp.asarray(image_processor.preprocess(frames),
+                         jnp.bfloat16 if cfg.lm.dtype == "bfloat16" else jnp.float32)
+
+    tower = vlm.encoders_mod.tower_for(cfg)
+    feats_raw = tower.forward(params["vision_tower"], pixels)
+    pooled = vlm.encode_frames(params, cfg, pixels)
+
+    # pad to whole segments (the spine's bucketing contract): build_video_
+    # embeds / run_video take (nseg*32, P, D) frames + a validity mask
+    nseg = max(num_frames // cfg.memory.segment_frames, 1)
+    fpad = nseg * cfg.memory.segment_frames
+    frames_padded = jnp.pad(pooled, ((0, max(fpad - num_frames, 0)),
+                                     (0, 0), (0, 0)))[:fpad]
+    valid = jnp.arange(fpad) < num_frames
+    fine_idx = jnp.asarray(vlm.fine_frame_indices(num_frames,
+                                                  cfg.memory.num_fine_frames))
+    visual = vlm.build_video_embeds(
+        params, cfg, frames_padded, jnp.arange(fpad), valid, fine_idx,
+        nseg=nseg)
+
+    mem_state = memory_mod.run_video(
+        params["memory"]["recurrent_memory_transformer"], cfg.memory,
+        frames_padded, valid)
+    memory_bank = mem_state.cache[: int(mem_state.cache_len)]
+
+    text_before = np.asarray([151644, 872, 198], np.int64)
+    text_after = np.asarray([3838, 374, 30, 151645, 198, 151644, 77091, 198],
+                            np.int64)
+    embeds = vlm.splice_image_embeds(
+        params, jnp.asarray(text_before, jnp.int32), visual,
+        jnp.asarray(text_after, jnp.int32))
+
+    s = embeds.shape[0]
+    smax = ((s + 127) // 128) * 128
+    padded = jnp.pad(embeds, ((0, smax - s), (0, 0)))[None]
+    hidden, _ = qwen2.forward(params["language_model"], cfg.lm, padded,
+                              jnp.arange(smax)[None],
+                              valid_len=jnp.asarray([s], jnp.int32))
+    logits = np.asarray(qwen2.unembed(
+        params["language_model"], cfg.lm,
+        hidden[:, s - 1:s]), np.float32)[0, 0]
+    top8 = np.argsort(logits)[::-1][:8]
+
+    p = cfg.memory.patch_size
+    nfine = min(num_frames, cfg.memory.num_fine_frames)
+    expected_visual = (10 + nseg * cfg.memory.num_memory_tokens * p + 1
+                       + 9 + nfine * p + 1)
+    golden = {
+        "num_frames": num_frames,
+        "seed": seed,
+        "tower_features": _stats(feats_raw),
+        "pooled_tokens": _stats(pooled),
+        "visual_embeds": _stats(visual),
+        "visual_token_count": int(visual.shape[0]),
+        "expected_visual_token_count": int(expected_visual),
+        "spliced_length": int(s),
+        "first_token": {
+            "argmax": int(top8[0]),
+            "top8_ids": [int(i) for i in top8],
+            "top8_logits": [float(logits[i]) for i in top8],
+        },
+    }
+    if memory_bank is not None:
+        golden["memory_bank"] = _stats(memory_bank)
+    return golden
+
+
+def check_goldens(got: dict, want: dict, rtol: float = 2e-2) -> list:
+    """Compare freshly computed goldens against pinned ones; returns a list
+    of mismatch strings (empty = pass). rtol defaults to the bf16-TPU 1e-2
+    class (numerics rules)."""
+    errs = []
+
+    def close(a, b):
+        return abs(a - b) <= rtol * max(abs(a), abs(b), 1e-3)
+
+    for key in ("visual_token_count", "expected_visual_token_count",
+                "spliced_length"):
+        if got[key] != want[key]:
+            errs.append(f"{key}: {got[key]} != {want[key]}")
+    for stage in ("tower_features", "pooled_tokens", "visual_embeds",
+                  "memory_bank"):
+        if stage not in want:
+            continue
+        g, w = got.get(stage), want[stage]
+        if g is None or g["shape"] != w["shape"]:
+            errs.append(f"{stage}: shape {g and g['shape']} != {w['shape']}")
+            continue
+        for field in ("mean", "std"):
+            if not close(g[field], w[field]):
+                errs.append(f"{stage}.{field}: {g[field]} != {w[field]}")
+    if got["first_token"]["argmax"] != want["first_token"]["argmax"]:
+        errs.append(f"first_token.argmax: {got['first_token']['argmax']} != "
+                    f"{want['first_token']['argmax']}")
+    return errs
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--num-frames", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", help="write goldens to this JSON file")
+    p.add_argument("--check", help="verify against a pinned goldens JSON")
+    p.add_argument("--rtol", type=float, default=2e-2)
+    args = p.parse_args(argv)
+
+    golden = compute_goldens(args.model_path, args.num_frames, args.seed)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(golden, f, indent=2)
+        print(f"pinned goldens -> {args.out}")
+    if args.check:
+        with open(args.check) as f:
+            want = json.load(f)
+        errs = check_goldens(golden, want, args.rtol)
+        if errs:
+            print("GOLDEN MISMATCH:")
+            for e in errs:
+                print("  " + e)
+            return 1
+        print("goldens match")
+    if not args.out and not args.check:
+        print(json.dumps(golden, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
