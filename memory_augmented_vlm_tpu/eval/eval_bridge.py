@@ -26,7 +26,9 @@ def evaluate_checkpoint(
 ) -> str:
     """Evaluate an HF-format checkpoint dir; returns the results path."""
     os.makedirs(output_dir, exist_ok=True)
-    if shutil.which("lmms-eval") or _module_exists("lmms_eval"):
+    # the vendored API subset (third_party/lmms_eval) has no CLI __main__ —
+    # only a real installation can run `python -m lmms_eval`
+    if shutil.which("lmms-eval") or _module_exists("lmms_eval.__main__"):
         cmd = [
             "python", "-m", "lmms_eval",
             "--model", "mavlm_tpu",

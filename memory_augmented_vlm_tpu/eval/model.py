@@ -175,6 +175,51 @@ class MavlmForCausalLM:
             result[b, :nums[b]] = toks[b, :nums[b]]
         return result
 
+    def generate_stream(
+        self,
+        input_ids,
+        images=None,
+        modalities: Union[str, Sequence[str]] = "image",
+        image_sizes=None,
+        do_sample: bool = False,
+        temperature: float = 0.0,
+        top_p: Optional[float] = None,
+        repetition_penalty: float = 1.0,
+        max_new_tokens: int = 256,
+        eos_token_id: Optional[Union[int, Sequence[int]]] = None,
+        stop_sequences: Optional[Sequence[Sequence[int]]] = None,
+        chunk_size: int = 8,
+        **kwargs,
+    ):
+        """Yield np.ndarray token-id chunks incrementally (single sample) —
+        the worker's TextIteratorStreamer replacement."""
+        ids = _to_numpy(input_ids).astype(np.int64)
+        if ids.ndim == 2:
+            ids = ids[0]
+        if isinstance(modalities, str):
+            modalities = [modalities]
+        if eos_token_id is None:
+            eos = (151645,)
+        elif isinstance(eos_token_id, int):
+            eos = (eos_token_id,)
+        else:
+            eos = tuple(eos_token_id)
+        embeds = self._row_embeds(
+            ids, images[0] if isinstance(images, (list, tuple)) else images,
+            modalities[0], image_sizes)
+        yield from vlm.generate_stream(
+            self.params, self.cfg, embeds,
+            max_new_tokens=max_new_tokens,
+            eos_token_ids=eos,
+            do_sample=bool(do_sample),
+            temperature=float(temperature) if do_sample else 0.0,
+            top_p=float(top_p) if (do_sample and top_p is not None) else 1.0,
+            repetition_penalty=float(repetition_penalty),
+            stop_sequences=tuple(tuple(int(t) for t in s)
+                                 for s in (stop_sequences or ())),
+            chunk_size=chunk_size,
+        )
+
     def _row_embeds(self, ids: np.ndarray, images, modality: str,
                     image_sizes) -> "jnp.ndarray":
         """Splice one sample's text ids with its visual stream -> (S, H)."""

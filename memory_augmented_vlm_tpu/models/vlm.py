@@ -270,7 +270,43 @@ def _prefill_and_decode(
 
     sampled = do_sample and temperature > 0.0
     track_presence = repetition_penalty != 1.0
+    body = _decode_body(
+        lm, cfg, eos_ids, stop_seqs, stop_lens, embeds.dtype, b,
+        temperature=temperature, top_p=top_p, top_k=top_k,
+        repetition_penalty=repetition_penalty, sampled=sampled)
+
+    def cond(state):
+        return jnp.logical_and(state["step"] < max_new_tokens,
+                               jnp.logical_not(jnp.all(state["done"])))
+
+    state = _decode_state0(cfg, b, max_new_tokens, stop_seqs, logits, cache,
+                           rng, track_presence)
+    final = jax.lax.while_loop(cond, body, state)
+    num = jnp.where(final["done"], final["num"], max_new_tokens)
+    return final["tokens"], num
+
+
+def _decode_state0(cfg: VLMConfig, b: int, tokens_width: int, stop_seqs,
+                   logits, cache, rng, track_presence: bool) -> dict:
     lstop = max(int(stop_seqs.shape[1]), 1)
+    state = dict(
+        step=jnp.asarray(0), done=jnp.zeros((b,), bool),
+        num=jnp.zeros((b,), jnp.int32), logits=logits, cache=cache,
+        tokens=jnp.zeros((b, tokens_width), jnp.int32),
+        recent=jnp.full((b, lstop), -1, jnp.int32), key=rng,
+    )
+    if track_presence:
+        state["presence"] = jnp.zeros((b, cfg.lm.vocab_size), bool)
+    return state
+
+
+def _decode_body(lm, cfg: VLMConfig, eos_ids, stop_seqs, stop_lens,
+                 embeds_dtype, b: int, *, temperature: float, top_p: float,
+                 top_k: int, repetition_penalty: float, sampled: bool):
+    """One decode transition on the state dict (shared by the jitted
+    while_loop core and the chunked streaming scan). `tokens` is written at
+    `step % width`, so a chunk-sized ring works the same as the full buffer."""
+    track_presence = repetition_penalty != 1.0
 
     def pick(logits, presence, key):
         warped = sampling.process_logits(
@@ -284,17 +320,14 @@ def _prefill_and_decode(
             return jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
         return jnp.argmax(warped, axis=-1).astype(jnp.int32)
 
-    def cond(state):
-        return jnp.logical_and(state["step"] < max_new_tokens,
-                               jnp.logical_not(jnp.all(state["done"])))
-
     def body(state):
         step, done = state["step"], state["done"]
         key, sub = jax.random.split(state["key"])
         tok = pick(state["logits"], state.get("presence"), sub)  # (B,)
         # rows already done keep emitting pad(0) without extending anything
         tok = jnp.where(done, 0, tok)
-        tokens = state["tokens"].at[:, step].set(tok)
+        width = state["tokens"].shape[1]
+        tokens = state["tokens"].at[:, step % width].set(tok)
         recent = jnp.concatenate(
             [state["recent"][:, 1:], tok[:, None]], axis=1)
         hit_eos = jnp.any(tok[:, None] == eos_ids[None, :], axis=-1)
@@ -303,7 +336,7 @@ def _prefill_and_decode(
         newly_done = ~done & (hit_eos | hit_kw)
         num = jnp.where(done, state["num"], state["num"] + 1)
         done = done | newly_done
-        emb = qwen2.embed_tokens(lm, tok[:, None], cfg.lm).astype(embeds.dtype)
+        emb = qwen2.embed_tokens(lm, tok[:, None], cfg.lm).astype(embeds_dtype)
         hidden, cache = qwen2.decode_step(lm, cfg.lm, emb, state["cache"])
         logits = qwen2.unembed(lm, cfg.lm, hidden)[:, 0]
         out = dict(step=step + 1, done=done, num=num, logits=logits,
@@ -312,17 +345,7 @@ def _prefill_and_decode(
             out["presence"] = state["presence"].at[jnp.arange(b), tok].set(True)
         return out
 
-    state = dict(
-        step=jnp.asarray(0), done=jnp.zeros((b,), bool),
-        num=jnp.zeros((b,), jnp.int32), logits=logits, cache=cache,
-        tokens=jnp.zeros((b, max_new_tokens), jnp.int32),
-        recent=jnp.full((b, lstop), -1, jnp.int32), key=rng,
-    )
-    if track_presence:
-        state["presence"] = jnp.zeros((b, cfg.lm.vocab_size), bool)
-    final = jax.lax.while_loop(cond, body, state)
-    num = jnp.where(final["done"], final["num"], max_new_tokens)
-    return final["tokens"], num
+    return body
 
 
 @functools.lru_cache(maxsize=32)
@@ -397,6 +420,100 @@ def generate(
         stop_sequences=stop_sequences, rng=rng,
     )
     return GenerateResult(tokens=out.tokens[0], num_tokens=out.num_tokens[0])
+
+
+# ---------------------------------------------------------------------------
+# Incremental streaming decode (the worker's TextIteratorStreamer equivalent)
+# ---------------------------------------------------------------------------
+
+def _prefill_core(params, cfg: VLMConfig, embeds, valid_len, *,
+                  cache_extra: int):
+    lm = params["language_model"]
+    smax = embeds.shape[1]
+    hidden, cache = qwen2.forward(
+        lm, cfg.lm, embeds, jnp.arange(smax)[None], valid_len=valid_len,
+        cache_max_len=smax + cache_extra,
+    )
+    last = jnp.take_along_axis(hidden, (valid_len - 1)[:, None, None], axis=1)
+    logits = qwen2.unembed(lm, cfg.lm, last)[:, 0]
+    return logits, cache
+
+
+@functools.lru_cache(maxsize=16)
+def _jit_stream_fns(cfg: VLMConfig, cache_extra: int, chunk: int,
+                    temperature: float, top_p: float, top_k: int,
+                    repetition_penalty: float, do_sample: bool):
+    prefill = jax.jit(functools.partial(_prefill_core, cache_extra=cache_extra),
+                      static_argnames=("cfg",))
+
+    def chunk_core(params, cfg, state, eos_ids, stop_seqs, stop_lens):
+        body = _decode_body(
+            params["language_model"], cfg, eos_ids, stop_seqs, stop_lens,
+            state["cache"].k.dtype, state["done"].shape[0],
+            temperature=temperature, top_p=top_p, top_k=top_k,
+            repetition_penalty=repetition_penalty,
+            sampled=do_sample and temperature > 0.0)
+
+        def scan_body(st, _):
+            # frozen after done: body keeps emitting pad without extending num
+            return body(st), None
+
+        state = dict(state, step=jnp.asarray(0),
+                     tokens=jnp.zeros(state["tokens"].shape, jnp.int32))
+        state, _ = jax.lax.scan(scan_body, state, None, length=chunk)
+        return state
+
+    step = jax.jit(chunk_core, static_argnames=("cfg",))
+    return prefill, step
+
+
+def generate_stream(
+    params,
+    cfg: VLMConfig,
+    inputs_embeds: jax.Array,      # (S, H) single spliced sequence
+    *,
+    max_new_tokens: int = 256,
+    eos_token_ids: Tuple[int, ...] = (151645,),
+    do_sample: bool = False,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
+    stop_sequences: Tuple[Tuple[int, ...], ...] = (),
+    chunk_size: int = 8,
+    pad_to_multiple: int = 128,
+    rng: Optional[jax.Array] = None,
+):
+    """Yield decoded token-id chunks incrementally (np.ndarray per chunk) —
+    the serving equivalent of the reference's TextIteratorStreamer thread
+    (serve/model_worker.py:107-180), without leaving the jitted decode."""
+    if temperature > 0.0:
+        do_sample = True
+    s = inputs_embeds.shape[0]
+    smax = ((s + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple
+    embeds = jnp.pad(inputs_embeds, ((0, smax - s), (0, 0)))[None]
+    cache_extra = ((max_new_tokens + chunk_size - 1) // chunk_size) * chunk_size
+    prefill, step = _jit_stream_fns(
+        cfg, cache_extra, chunk_size, float(temperature), float(top_p),
+        int(top_k), float(repetition_penalty), bool(do_sample))
+    logits, cache = prefill(params, cfg, embeds, jnp.asarray([s], jnp.int32))
+    seqs, lens = sampling.pack_stop_sequences(stop_sequences)
+    state = _decode_state0(cfg, 1, chunk_size, jnp.asarray(seqs), logits,
+                           cache, rng if rng is not None else jax.random.key(0),
+                           repetition_penalty != 1.0)
+    emitted = 0
+    prev_num = 0
+    while emitted < max_new_tokens:
+        state = step(params, cfg, state, jnp.asarray(eos_token_ids, jnp.int32),
+                     jnp.asarray(seqs), jnp.asarray(lens))
+        num = int(state["num"][0])
+        fresh = np.asarray(state["tokens"][0, : num - prev_num])
+        emitted += chunk_size
+        if fresh.size:
+            yield fresh[: max(0, max_new_tokens - prev_num)]
+        prev_num = num
+        if bool(state["done"][0]):
+            break
 
 
 # ---------------------------------------------------------------------------

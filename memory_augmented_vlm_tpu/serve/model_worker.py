@@ -101,18 +101,37 @@ class ModelWorker:
                             [np.asarray(i.convert("RGB")) for i in imgs]))
                     modality = "video" if len(imgs) > 1 else "image"
                 temperature = float(params.get("temperature", 0.0))
-                out = self.model.generate(
+                top_p = params.get("top_p")
+                # `stop` string stops inside the jitted decode loop
+                # (KeywordsStoppingCriteria equivalence); text-level
+                # truncation below is the backstop
+                stop = params.get("stop")
+                stop_seqs = []
+                if stop and self.tokenizer:
+                    tok = self.tokenizer.encode(stop, add_special_tokens=False)
+                    if tok:
+                        stop_seqs.append(tuple(tok))
+                text = ""
+                for chunk in self.model.generate_stream(
                     ids[None],
                     images=[pixels] if pixels is not None else None,
                     modalities=[modality],
                     do_sample=temperature > 0,
                     temperature=temperature,
+                    top_p=float(top_p) if top_p is not None else None,
                     max_new_tokens=int(params.get("max_new_tokens", 256)),
-                )
-                text = self.tokenizer.decode(out[0], skip_special_tokens=True) \
-                    if self.tokenizer else str(out[0].tolist())
-                yield json.dumps({"text": params.get("prompt", "") + text,
-                                  "error_code": 0}).encode() + b"\0"
+                    stop_sequences=tuple(stop_seqs),
+                ):
+                    piece = (self.tokenizer.decode(chunk, skip_special_tokens=True)
+                             if self.tokenizer else str(chunk.tolist()))
+                    text += piece
+                    if stop and stop in text:
+                        text = text.split(stop)[0]
+                        yield json.dumps({"text": params.get("prompt", "") + text,
+                                          "error_code": 0}).encode() + b"\0"
+                        break
+                    yield json.dumps({"text": params.get("prompt", "") + text,
+                                      "error_code": 0}).encode() + b"\0"
         except Exception as e:  # noqa: BLE001
             yield json.dumps({"text": f"server error: {e}",
                               "error_code": 1}).encode() + b"\0"

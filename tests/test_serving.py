@@ -75,3 +75,62 @@ def test_heartbeat_updates_queue(stack):
             stack + "/get_worker_address", {"model": "tiny-mavlm"})["address"],
         "queue_length": 0})
     assert ok["exist"]
+
+
+def test_streaming_is_incremental(stack):
+    """The worker must emit multiple growing chunks (TextIteratorStreamer
+    semantics), not one final blob."""
+    outs = list(client_mod.stream_generate(
+        stack, "tiny-mavlm", "tell me something", max_new_tokens=24))
+    assert outs[-1]["error_code"] == 0
+    assert len(outs) >= 2, f"expected incremental chunks, got {len(outs)}"
+    texts = [o["text"] for o in outs]
+    for a, b in zip(texts, texts[1:]):
+        assert b.startswith(a[: len("tell me something")])
+    assert len(texts[-1]) >= len(texts[0])
+
+
+@pytest.fixture(scope="module")
+def web_ui(stack):
+    from memory_augmented_vlm_tpu.serve.web_server import make_handler
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(stack))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def test_web_ui_page_and_templates(web_ui):
+    import urllib.request
+
+    with urllib.request.urlopen(web_ui + "/", timeout=10) as r:
+        page = r.read().decode()
+    assert "mavlm_tpu chat" in page and "regenerate" in page
+    t = client_mod.post_json(web_ui + "/templates", {})
+    assert "qwen_1_5" in t["templates"] and len(t["templates"]) >= 21
+
+
+def test_web_ui_chat_streams_ndjson(web_ui):
+    import urllib.request
+
+    req = urllib.request.Request(
+        web_ui + "/chat",
+        data=json.dumps({
+            "model": "tiny-mavlm", "template": "qwen_1_5",
+            "history": [[0, "hi there"]], "images": [],
+            "temperature": 0.0, "max_new_tokens": 12,
+        }).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        lines = [json.loads(l) for l in r.read().splitlines() if l.strip()]
+    assert lines, "no streamed lines"
+    assert lines[-1]["error_code"] == 0
+    # the prompt echo is stripped: the text is pure assistant output
+    assert not lines[-1]["text"].startswith("<|im_start|>")
+
+
+def test_web_ui_prompt_rendering_multi_image():
+    from memory_augmented_vlm_tpu.serve.web_server import _render_prompt
+
+    out = _render_prompt("qwen_1_5", [[0, "compare these"]], num_images=2)
+    assert out.count("<image>") == 2
+    assert out.endswith("<|im_start|>assistant\n")
