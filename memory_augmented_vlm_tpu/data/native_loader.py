@@ -110,3 +110,32 @@ class NativeFrameLoader:
 
     def __exit__(self, *a):
         self.close()
+
+
+def decode_y4m_native(path: str):
+    """Decode a .y4m via the native C++ decoder (runtime/frame_loader.cpp
+    fl_decode_y4m). Returns ((F, H, W, 3) uint8, fps) or None when the
+    library (or symbol, for stale builds) is unavailable."""
+    lib = _load_library()
+    if lib is None or not hasattr(lib, "fl_decode_y4m"):
+        return None
+    lib.fl_decode_y4m.restype = ctypes.c_int
+    lib.fl_decode_y4m.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.fl_free_u8.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
+    data_p = ctypes.POINTER(ctypes.c_ubyte)()
+    shape = (ctypes.c_int64 * 4)()
+    fps = ctypes.c_double()
+    rc = lib.fl_decode_y4m(path.encode(), ctypes.byref(data_p), shape,
+                           ctypes.byref(fps))
+    if rc != 0:
+        raise ValueError(f"fl_decode_y4m({path}) failed with {rc}")
+    shp = tuple(int(shape[i]) for i in range(4))
+    count = int(np.prod(shp))
+    frames = np.ctypeslib.as_array(data_p, shape=(count,)).reshape(shp).copy()
+    lib.fl_free_u8(data_p)
+    return frames, float(fps.value)

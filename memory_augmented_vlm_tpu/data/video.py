@@ -8,7 +8,9 @@ recipe actually uses plus optional codec backends when present:
      `--video_folder ..._tensors` path (train.py:1183-1231,
      extract_video_frames/video_reader_tmp.py);
   2. directories of frame images (train.py's folder-of-frames branch);
-  3. decord / PyAV when importable (same preference order as the reference).
+  3. Y4M (YUV4MPEG2) files — a real container decode that needs no codec:
+     native C++ fast path (runtime/frame_loader.cpp) with a numpy fallback;
+  4. decord / PyAV when importable (same preference order as the reference).
 
 Frame-sampling arithmetic reproduces `process_video_with_decord`
 (llava/utils.py:26-52): >=32 s videos sample n*32 frames with
@@ -75,6 +77,94 @@ def load_frames_from_tensor(path: str) -> np.ndarray:
     return arr
 
 
+def _yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """BT.601 limited-range planar 4:2:0 -> (H, W, 3) uint8 (the decord /
+    ffmpeg default for yuv420p)."""
+    h, w = y.shape
+    u = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:h, :w]
+    v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w]
+    yf = 1.164383 * (y.astype(np.float32) - 16.0)
+    uf = u.astype(np.float32) - 128.0
+    vf = v.astype(np.float32) - 128.0
+    r = yf + 1.596027 * vf
+    g = yf - 0.391762 * uf - 0.812968 * vf
+    b = yf + 2.017232 * uf
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def load_y4m(path: str) -> Tuple[np.ndarray, float]:
+    """Decode a YUV4MPEG2 (.y4m) file -> ((F, H, W, 3) uint8, fps).
+
+    Handles C420* colorspaces (420 / 420jpeg / 420mpeg2 / 420paldv differ in
+    chroma siting only). Prefers the native C++ decoder (frame_loader.cpp)
+    when built; this numpy path is the portable fallback."""
+    try:
+        from memory_augmented_vlm_tpu.data.native_loader import decode_y4m_native
+
+        out = decode_y4m_native(path)
+        if out is not None:
+            return out
+    except Exception:  # noqa: BLE001 — library absent or ABI mismatch
+        pass
+    with open(path, "rb") as f:
+        data = f.read()
+    nl = data.index(b"\n")
+    header = data[:nl].decode()
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError(f"{path}: not a YUV4MPEG2 stream")
+    w = h = 0
+    fps = 30.0
+    colorspace = "420"
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            num, den = tok[1:].split(":")
+            fps = float(num) / float(den)
+        elif tok[0] == "C":
+            colorspace = tok[1:]
+    if not colorspace.startswith("420"):
+        raise ValueError(f"{path}: unsupported colorspace C{colorspace} "
+                         "(only 4:2:0 variants)")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    frame_bytes = ysz + 2 * csz
+    pos = nl + 1
+    frames = []
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError(f"{path}: bad FRAME marker at byte {pos}")
+        pos = fnl + 1
+        raw = np.frombuffer(data, np.uint8, count=frame_bytes, offset=pos)
+        pos += frame_bytes
+        y = raw[:ysz].reshape(h, w)
+        u = raw[ysz:ysz + csz].reshape(h // 2, w // 2)
+        v = raw[ysz + csz:].reshape(h // 2, w // 2)
+        frames.append(_yuv420_to_rgb(y, u, v))
+    return np.stack(frames), fps
+
+
+def write_y4m(path: str, frames: np.ndarray, fps: int = 30) -> None:
+    """Encode (F, H, W, 3) uint8 RGB -> .y4m (inverse of load_y4m; used by
+    the frame-extraction tools and tests)."""
+    f_, h, w, _ = frames.shape
+    with open(path, "wb") as out:
+        out.write(f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode())
+        for frame in frames:
+            rf = frame.astype(np.float32)
+            r, g, b = rf[..., 0], rf[..., 1], rf[..., 2]
+            y = 16.0 + 0.256788 * r + 0.504129 * g + 0.097906 * b
+            u = 128.0 - 0.148223 * r - 0.290993 * g + 0.439216 * b
+            v = 128.0 + 0.439216 * r - 0.367788 * g - 0.071427 * b
+            out.write(b"FRAME\n")
+            out.write(np.clip(y, 0, 255).astype(np.uint8).tobytes())
+            for plane in (u, v):
+                sub = plane.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+                out.write(np.clip(sub, 0, 255).astype(np.uint8).tobytes())
+
+
 def load_video(
     video_path: str,
     video_fps: int = 1,
@@ -92,6 +182,8 @@ def load_video(
     elif video_path.endswith((".pt", ".npy", ".npz")):
         frames = load_frames_from_tensor(video_path)
         avg_fps = float(video_fps)
+    elif video_path.endswith(".y4m"):
+        frames, avg_fps = load_y4m(video_path)
     else:
         frames, avg_fps = _decode_with_codec(video_path)
 

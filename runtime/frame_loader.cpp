@@ -194,4 +194,130 @@ int fl_next(void* handle, const float** out_data, int64_t* out_shape,
 
 void fl_destroy(void* handle) { delete static_cast<Loader*>(handle); }
 
+// ---------------------------------------------------------------------------
+// Y4M (YUV4MPEG2) decode — the native "decord replacement" for a real video
+// container this image can produce without codecs. BT.601 limited-range
+// 4:2:0 -> interleaved RGB, multi-threaded over frames.
+//
+//   fl_decode_y4m(path, &data, shape[4], &fps) -> 0 ok / <0 error
+//   fl_free_u8(data)
+// ---------------------------------------------------------------------------
+
+int fl_decode_y4m(const char* path, unsigned char** out_data,
+                  int64_t* out_shape, double* out_fps) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<unsigned char> raw(size);
+  if (fread(raw.data(), 1, size, f) != static_cast<size_t>(size)) {
+    fclose(f);
+    return -2;
+  }
+  fclose(f);
+
+  long nl = 0;
+  while (nl < size && raw[nl] != '\n') ++nl;
+  std::string header(reinterpret_cast<char*>(raw.data()), nl);
+  if (header.rfind("YUV4MPEG2", 0) != 0) return -3;
+  long w = 0, h = 0;
+  double fps = 30.0;
+  bool c420 = true;
+  size_t tok_start = 0;
+  while (tok_start < header.size()) {
+    size_t sp = header.find(' ', tok_start);
+    std::string tok = header.substr(
+        tok_start, sp == std::string::npos ? std::string::npos
+                                           : sp - tok_start);
+    if (!tok.empty()) {
+      switch (tok[0]) {
+        case 'W': w = atol(tok.c_str() + 1); break;
+        case 'H': h = atol(tok.c_str() + 1); break;
+        case 'F': {
+          long num = 0, den = 1;
+          sscanf(tok.c_str() + 1, "%ld:%ld", &num, &den);
+          if (den > 0) fps = static_cast<double>(num) / den;
+          break;
+        }
+        case 'C': c420 = tok.rfind("C420", 0) == 0; break;
+        default: break;
+      }
+    }
+    if (sp == std::string::npos) break;
+    tok_start = sp + 1;
+  }
+  if (w <= 0 || h <= 0 || !c420) return -4;
+
+  const long ysz = w * h, csz = (w / 2) * (h / 2);
+  const long frame_bytes = ysz + 2 * csz;
+  // index frame payload offsets
+  std::vector<long> offsets;
+  long pos = nl + 1;
+  while (pos < size) {
+    long fnl = pos;
+    while (fnl < size && raw[fnl] != '\n') ++fnl;
+    if (fnl - pos < 5 || memcmp(&raw[pos], "FRAME", 5) != 0) return -5;
+    pos = fnl + 1;
+    if (pos + frame_bytes > size) return -6;
+    offsets.push_back(pos);
+    pos += frame_bytes;
+  }
+  const long n_frames = static_cast<long>(offsets.size());
+  unsigned char* rgb = static_cast<unsigned char*>(
+      malloc(static_cast<size_t>(n_frames) * h * w * 3));
+  if (!rgb) return -7;
+
+  auto convert = [&](long fi) {
+    const unsigned char* yp = &raw[offsets[fi]];
+    const unsigned char* up = yp + ysz;
+    const unsigned char* vp = up + csz;
+    unsigned char* dst = rgb + static_cast<size_t>(fi) * h * w * 3;
+    for (long row = 0; row < h; ++row) {
+      const unsigned char* urow = up + (row / 2) * (w / 2);
+      const unsigned char* vrow = vp + (row / 2) * (w / 2);
+      for (long col = 0; col < w; ++col) {
+        float yf = 1.164383f * (static_cast<float>(yp[row * w + col]) - 16.0f);
+        float uf = static_cast<float>(urow[col / 2]) - 128.0f;
+        float vf = static_cast<float>(vrow[col / 2]) - 128.0f;
+        float r = yf + 1.596027f * vf;
+        float g = yf - 0.391762f * uf - 0.812968f * vf;
+        float b = yf + 2.017232f * uf;
+        unsigned char* px = dst + (row * w + col) * 3;
+        px[0] = static_cast<unsigned char>(
+            r < 0 ? 0 : (r > 255 ? 255 : r + 0.5f));
+        px[1] = static_cast<unsigned char>(
+            g < 0 ? 0 : (g > 255 ? 255 : g + 0.5f));
+        px[2] = static_cast<unsigned char>(
+            b < 0 ? 0 : (b > 255 ? 255 : b + 0.5f));
+      }
+    }
+  };
+  long n_threads = std::min<long>(n_frames, 8);
+  if (n_threads > 1) {
+    std::vector<std::thread> pool;
+    std::atomic<long> next_frame{0};
+    for (long t = 0; t < n_threads; ++t) {
+      pool.emplace_back([&] {
+        for (long fi = next_frame.fetch_add(1); fi < n_frames;
+             fi = next_frame.fetch_add(1)) {
+          convert(fi);
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
+  } else {
+    for (long fi = 0; fi < n_frames; ++fi) convert(fi);
+  }
+  *out_data = rgb;
+  out_shape[0] = n_frames;
+  out_shape[1] = h;
+  out_shape[2] = w;
+  out_shape[3] = 3;
+  *out_fps = fps;
+  return 0;
+}
+
+void fl_free_u8(unsigned char* ptr) { free(ptr); }
+
 }  // extern "C"
