@@ -1,0 +1,189 @@
+"""Continuous-batching decode engine — the TPU-native counterpart of the
+reference's SGLang worker (llava/serve/sglang_worker.py routes generation to
+an sglang runtime whose core trick is continuous batching).
+
+Design (all device state lives in jax arrays owned by the engine):
+  - a fixed pool of B slots over one batched KV cache (L, B, Smax, Hkv, Dh);
+  - `_prefill_into_slot`: run the (B=1) prefill for a new request and write
+    its K/V into the slot via dynamic_update_slice — admission never stalls
+    other slots' decoding beyond this one call;
+  - `_decode_step`: ONE token for every active slot per call (per-row RoPE
+    positions and cache lengths already make ragged batches exact — decode
+    parity with the single-request path is pinned in tests);
+  - per-slot greedy / temperature sampling, eos + max-token stopping; rows
+    that finish are recycled for queued requests between steps.
+
+The host-side `BatchEngine.submit` is thread-safe; a single engine thread
+owns the device loop (serve/sglang_worker.py builds the worker protocol on
+top of this).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from memory_augmented_vlm_tpu.config import VLMConfig
+from memory_augmented_vlm_tpu.models import qwen2
+
+
+def _prefill_into_slot(params, cfg: VLMConfig, embeds, valid_len, slot,
+                       cache_k, cache_v, cache_len):
+    """Prefill one request (embeds (1, Sp, H) right-padded) and write its
+    K/V into `slot` of the batched cache. Returns (first logits row, k, v,
+    len)."""
+    lm = params["language_model"]
+    sp = embeds.shape[1]
+    hidden, pre_cache = qwen2.forward(
+        lm, cfg.lm, embeds, jnp.arange(sp)[None], valid_len=valid_len,
+        cache_max_len=sp,
+    )
+    last = jnp.take_along_axis(hidden, (valid_len - 1)[:, None, None], axis=1)
+    logits = qwen2.unembed(lm, cfg.lm, last)[0, 0]          # (V,)
+    # write the (L, 1, Sp, Hkv, Dh) prefill K/V into the slot
+    cache_k = jax.lax.dynamic_update_slice(
+        cache_k, pre_cache.k.astype(cache_k.dtype), (0, slot, 0, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(
+        cache_v, pre_cache.v.astype(cache_v.dtype), (0, slot, 0, 0, 0))
+    cache_len = cache_len.at[slot].set(valid_len[0])
+    return logits, cache_k, cache_v, cache_len
+
+
+def _decode_step(params, cfg: VLMConfig, logits, cache_k, cache_v, cache_len,
+                 active, temps, rng):
+    """One token for every slot. Inactive slots decode garbage into their own
+    row (cheap; the row is re-prefilled on reuse) but never affect others."""
+    lm = params["language_model"]
+    b = logits.shape[0]
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    warped = logits / jnp.maximum(temps, 1e-4)[:, None]
+    sampled = jax.random.categorical(rng, warped, axis=-1).astype(jnp.int32)
+    tok = jnp.where(temps > 0, sampled, greedy)
+    tok = jnp.where(active, tok, 0)
+    emb = qwen2.embed_tokens(lm, tok[:, None], cfg.lm).astype(cache_k.dtype)
+    cache = qwen2.KVCache(k=cache_k, v=cache_v, length=cache_len)
+    hidden, cache = qwen2.decode_step(lm, cfg.lm, emb, cache)
+    new_logits = qwen2.unembed(lm, cfg.lm, hidden)[:, 0]
+    return tok, new_logits, cache.k, cache.v, cache.length
+
+
+@dataclass
+class _Request:
+    embeds: np.ndarray            # (S, H) spliced sequence
+    max_new_tokens: int
+    eos_ids: Tuple[int, ...]
+    temperature: float
+    out: "queue.Queue[Optional[np.ndarray]]" = field(
+        default_factory=queue.Queue)
+    slot: int = -1
+    emitted: int = 0
+
+
+class BatchEngine:
+    """Continuous-batching generation over a fixed slot pool."""
+
+    def __init__(self, params, cfg: VLMConfig, *, num_slots: int = 4,
+                 max_len: int = 2048, pad_to_multiple: int = 128):
+        self.params = params
+        self.cfg = cfg
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.pad = pad_to_multiple
+        dtype = jnp.bfloat16 if cfg.lm.dtype == "bfloat16" else jnp.float32
+        cache = qwen2.KVCache.zeros(cfg.lm, num_slots, max_len, dtype)
+        self._k, self._v, self._len = cache.k, cache.v, cache.length
+        self._logits = jnp.zeros((num_slots, cfg.lm.vocab_size), jnp.float32)
+        self._temps = jnp.zeros((num_slots,), jnp.float32)
+        self._rng = jax.random.key(0)
+        self._prefill = jax.jit(_prefill_into_slot, static_argnames=("cfg",))
+        self._step = jax.jit(_decode_step, static_argnames=("cfg",))
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._slots: List[Optional[_Request]] = [None] * num_slots
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    # -- public API ----------------------------------------------------------
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def shutdown(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=30)
+
+    def submit(self, embeds: np.ndarray, *, max_new_tokens: int = 128,
+               eos_token_ids: Tuple[int, ...] = (151645,),
+               temperature: float = 0.0) -> "queue.Queue[Optional[np.ndarray]]":
+        """Enqueue a spliced sequence; returns a queue yielding np token
+        chunks and a final None sentinel."""
+        req = _Request(np.asarray(embeds), max_new_tokens,
+                       tuple(eos_token_ids), float(temperature))
+        self._queue.put(req)
+        return req.out
+
+    def generate(self, embeds, **kw) -> np.ndarray:
+        """Blocking convenience wrapper around submit()."""
+        out = self.submit(embeds, **kw)
+        toks: List[np.ndarray] = []
+        while True:
+            item = out.get()
+            if item is None:
+                break
+            toks.append(item)
+        return (np.concatenate(toks) if toks
+                else np.zeros((0,), np.int32))
+
+    # -- engine loop ----------------------------------------------------------
+    def _admit(self):
+        for slot in range(self.num_slots):
+            if self._slots[slot] is not None:
+                continue
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            s = req.embeds.shape[0]
+            sp = min(((s + self.pad - 1) // self.pad) * self.pad, self.max_len)
+            emb = jnp.pad(jnp.asarray(req.embeds, self._k.dtype),
+                          ((0, sp - s), (0, 0)))[None]
+            logits_row, self._k, self._v, self._len = self._prefill(
+                self.params, self.cfg, emb, jnp.asarray([s], jnp.int32),
+                slot, self._k, self._v, self._len)
+            self._logits = self._logits.at[slot].set(logits_row)
+            self._temps = self._temps.at[slot].set(req.temperature)
+            req.slot = slot
+            self._slots[slot] = req
+
+    def _loop(self):
+        while not self._stop.is_set():
+            self._admit()
+            if all(r is None for r in self._slots):
+                self._stop.wait(0.01)  # idle: nothing admitted this round
+                continue
+            active = jnp.asarray([r is not None for r in self._slots])
+            self._rng, sub = jax.random.split(self._rng)
+            tok, self._logits, self._k, self._v, self._len = self._step(
+                self.params, self.cfg, self._logits, self._k, self._v,
+                self._len, active, self._temps, sub)
+            toks = np.asarray(tok)
+            for slot, req in enumerate(self._slots):
+                if req is None:
+                    continue
+                t = int(toks[slot])
+                done = t in req.eos_ids
+                # eos is emitted and counted, matching vlm.generate's
+                # GenerateResult (callers strip specials when decoding)
+                req.out.put(np.asarray([t], np.int32))
+                req.emitted += 1
+                if done or req.emitted >= req.max_new_tokens or (
+                        int(self._len[slot]) >= self.max_len):
+                    req.out.put(None)
+                    self._slots[slot] = None

@@ -1,26 +1,116 @@
-"""SGLang worker (reference: llava/serve/sglang_worker.py).
+"""SGLang-class worker: the continuous-batching serving runtime.
 
-The reference proxies the worker protocol onto an external `sglang` runtime
-endpoint. sglang has no TPU runtime and is not bundled in this image; this
-module preserves the entry point and speaks the same worker protocol by
-delegating to the native ModelWorker, so deployments scripted against
-`python -m ...serve.sglang_worker` keep working on TPU.
+The reference's sglang worker (llava/serve/sglang_worker.py) proxies the
+worker protocol onto an sglang runtime whose core capability is continuous
+batching — concurrent requests share one batched forward, with slots
+admitted and recycled mid-flight. sglang has no TPU runtime; this worker
+provides that capability natively: the same controller/worker HTTP protocol
+as serve/model_worker.py, but generation runs through
+`serve/batch_engine.BatchEngine` (slot-pool KV cache, per-request admission
+via prefill-into-slot, one batched decode step per token).
+
+Greedy outputs are bit-identical to the single-request path
+(tests/test_batch_engine.py pins this).
 """
 
 from __future__ import annotations
 
-from memory_augmented_vlm_tpu.serve.model_worker import main as _native_main
+import argparse
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from memory_augmented_vlm_tpu.data.tokenizer import tokenizer_image_token
+from memory_augmented_vlm_tpu.serve.batch_engine import BatchEngine
+from memory_augmented_vlm_tpu.serve.model_worker import ModelWorker
+from memory_augmented_vlm_tpu.utils.logging import build_logger
+
+logger = build_logger("sglang_worker")
+
+
+class SGLangWorker(ModelWorker):
+    """ModelWorker with the generate path swapped for the batch engine."""
+
+    def __init__(self, *args, num_slots: int = 4, max_len: int = 4096,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.engine = BatchEngine(self.model.params, self.model.cfg,
+                                  num_slots=num_slots, max_len=max_len).start()
+
+    def generate_stream(self, params: dict):
+        self.queue_length += 1
+        try:
+            prompt = params["prompt"]
+            ids = tokenizer_image_token(prompt, self.tokenizer)
+            pixels = None
+            modality = "text"
+            images_b64 = params.get("images") or []
+            if images_b64:
+                from PIL import Image
+
+                imgs = [Image.open(io.BytesIO(base64.b64decode(b)))
+                        for b in images_b64]
+                pixels = self.image_processor.preprocess(
+                    imgs[0] if len(imgs) == 1 else np.stack(
+                        [np.asarray(i.convert("RGB")) for i in imgs]))
+                modality = "video" if len(imgs) > 1 else "image"
+            embeds = self.model._row_embeds(
+                np.asarray(ids, np.int64), pixels, modality, None)
+            eos = self.tokenizer.convert_tokens_to_ids("<|im_end|>") \
+                if self.tokenizer else 151645
+            out_q = self.engine.submit(
+                np.asarray(embeds),
+                max_new_tokens=int(params.get("max_new_tokens", 256)),
+                eos_token_ids=(eos,),
+                temperature=float(params.get("temperature", 0.0)))
+            text = ""
+            stop = params.get("stop")
+            while True:
+                chunk = out_q.get()
+                if chunk is None:
+                    break
+                text += (self.tokenizer.decode(chunk, skip_special_tokens=True)
+                         if self.tokenizer else str(chunk.tolist()))
+                if stop and stop in text:
+                    text = text.split(stop)[0]
+                    yield json.dumps({"text": prompt + text,
+                                      "error_code": 0}).encode() + b"\0"
+                    break
+                yield json.dumps({"text": prompt + text,
+                                  "error_code": 0}).encode() + b"\0"
+        except Exception as e:  # noqa: BLE001
+            yield json.dumps({"text": f"server error: {e}",
+                              "error_code": 1}).encode() + b"\0"
+        finally:
+            self.queue_length -= 1
 
 
 def main(argv=None):
-    try:
-        import sglang  # noqa: F401
+    from memory_augmented_vlm_tpu.serve.model_worker import make_handler
 
-        print("sglang detected, but it has no TPU runtime; "
-              "serving through the native TPU worker instead.")
-    except ImportError:
-        pass
-    return _native_main(argv)
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=40001)
+    p.add_argument("--controller-address", default="http://localhost:10000")
+    p.add_argument("--worker-address", default=None)
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--model-name", default=None)
+    p.add_argument("--num-slots", type=int, default=4)
+    p.add_argument("--max-len", type=int, default=4096)
+    args = p.parse_args(argv)
+    worker_addr = args.worker_address or f"http://localhost:{args.port}"
+    worker = SGLangWorker(args.controller_address, worker_addr,
+                          args.model_path, args.model_name,
+                          num_slots=args.num_slots, max_len=args.max_len)
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))
+    logger.info(f"sglang-class worker on {args.host}:{args.port} "
+                f"({args.num_slots} slots)")
+    server.serve_forever()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,87 @@
+"""Continuous-batching engine: greedy outputs must be bit-identical to the
+single-request decode path, across staggered admissions and slot recycling
+(the correctness bar for the sglang-class worker)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from memory_augmented_vlm_tpu.config import LMConfig, VLMConfig
+from memory_augmented_vlm_tpu.models import qwen2, vlm
+from memory_augmented_vlm_tpu.serve.batch_engine import BatchEngine
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    lm = LMConfig(vocab_size=50000, hidden_size=32, intermediate_size=64,
+                  num_hidden_layers=2, num_attention_heads=4,
+                  num_key_value_heads=2, head_dim=8, rope_theta=10000.0,
+                  dtype="float32")
+    cfg = VLMConfig(lm=lm)
+    params = {"language_model": qwen2.init_params(lm, jax.random.key(0))}
+    return cfg, params
+
+
+def _embeds(params, ids):
+    return np.asarray(qwen2.embed_tokens(
+        params["language_model"], jnp.asarray(ids, jnp.int32)))
+
+
+def _reference(params, cfg, ids, n):
+    out = vlm.generate(params, cfg, jnp.asarray(_embeds(params, ids)),
+                       max_new_tokens=n, eos_token_ids=(49999,),
+                       pad_to_multiple=128)
+    return np.asarray(out.tokens)[: int(out.num_tokens)]
+
+
+def test_concurrent_greedy_matches_single(tiny):
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=3, max_len=256).start()
+    try:
+        rng = np.random.default_rng(0)
+        prompts = [rng.integers(0, 1000, size=(n,)) for n in (4, 7, 3, 5)]
+        want = [_reference(params, cfg, p, 8) for p in prompts]
+
+        results = [None] * len(prompts)
+
+        def run(i):
+            results[i] = engine.generate(_embeds(params, prompts[i]),
+                                         max_new_tokens=8,
+                                         eos_token_ids=(49999,))
+
+        # 4 requests over 3 slots: forces recycling of at least one slot
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(prompts))]
+        for i, t in enumerate(threads):
+            t.start()
+            if i == 1:
+                time.sleep(0.05)  # staggered admission mid-decode
+        for t in threads:
+            t.join(timeout=180)
+        for i, (got, exp) in enumerate(zip(results, want)):
+            assert got is not None, f"request {i} timed out"
+            np.testing.assert_array_equal(got, exp, err_msg=f"request {i}")
+    finally:
+        engine.shutdown()
+
+
+def test_eos_frees_slot_for_queued_request(tiny):
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=1, max_len=256).start()
+    try:
+        rng = np.random.default_rng(1)
+        a = rng.integers(0, 1000, size=(4,))
+        b = rng.integers(0, 1000, size=(6,))
+        ra = engine.generate(_embeds(params, a), max_new_tokens=5,
+                             eos_token_ids=(49999,))
+        rb = engine.generate(_embeds(params, b), max_new_tokens=5,
+                             eos_token_ids=(49999,))
+        np.testing.assert_array_equal(ra, _reference(params, cfg, a, 5))
+        np.testing.assert_array_equal(rb, _reference(params, cfg, b, 5))
+    finally:
+        engine.shutdown()
