@@ -172,8 +172,10 @@ def load_pretrained_model(
     if overwrite_config:
         raw.update(overwrite_config)
     if load_8bit or load_4bit:
-        # 4-bit collapses to the int8 path (v1 has no int4 kernels)
+        # 4-bit collapses to the int8 path (v1 has no int4 kernels);
+        # load_8bit quantizes BOTH halves like bitsandbytes (tower + LM)
         raw["tower_int8"] = True
+        raw["lm_int8"] = True
     sd = hf_import.load_safetensors_dir(model_path)
     cfg = config_from_json_and_weights(raw, sd)
     dtype = jnp.bfloat16 if torch_dtype in ("bfloat16", "auto") else jnp.float32
@@ -212,6 +214,11 @@ def load_pretrained_model(
         from memory_augmented_vlm_tpu.models import siglip as _siglip
 
         params["vision_tower"] = _siglip.prequantize_int8(params["vision_tower"])
+    if raw.get("lm_int8"):
+        from memory_augmented_vlm_tpu.models import qwen2 as _qwen2
+
+        params["language_model"] = _qwen2.prequantize_int8(
+            params["language_model"], cfg.lm)
 
     tokenizer = None
     try:

@@ -126,15 +126,47 @@ def _act(x, act: str):
     raise ValueError(act)
 
 
+def _proj(p, x):
+    """Dense projection; prequantized int8 params take the int8 MXU path
+    (lm_int8 / load_8bit serving mode)."""
+    if "kernel_int8" in p:
+        from memory_augmented_vlm_tpu.ops.quant import int8_linear
+
+        return int8_linear(p, x)
+    return jnp.einsum("...h,hd->...d", x, p["kernel"])
+
+
+def prequantize_int8(params, cfg: Optional[LMConfig] = None):
+    """Static-scale int8 LM weights (the load_8bit LM half; bitsandbytes
+    LLM.int8 equivalent capability). Quantizes the stacked per-layer dense
+    kernels; embeddings / unembedding / norms stay high-precision (the
+    logits matmul is the quality-sensitive tail). MoE experts stay dense."""
+    from memory_augmented_vlm_tpu.ops.quant import prequantize_kernel
+
+    layers = params["layers"]
+    new_layers = dict(layers)
+    for name in ("q_proj", "k_proj", "v_proj", "o_proj",
+                 "gate_proj", "up_proj", "down_proj"):
+        if name not in layers:
+            continue
+        wq, scale = prequantize_kernel(layers[name]["kernel"])
+        entry = {"kernel_int8": wq, "scale": scale}
+        if "bias" in layers[name]:
+            entry["bias"] = layers[name]["bias"]
+        new_layers[name] = entry
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
 def _dense_mlp(lp, x, act: str = "silu", gated: bool = True):
-    up = jnp.einsum("bsh,hi->bsi", x, lp["up_proj"]["kernel"])
+    up = _proj(lp["up_proj"], x)
     if gated:
-        gate = jnp.einsum("bsh,hi->bsi", x, lp["gate_proj"]["kernel"])
-        hidden = _act(gate, act) * up
+        hidden = _act(_proj(lp["gate_proj"], x), act) * up
     else:
         # MPT MptMLP: up -> act -> down, no gate
         hidden = _act(up, act)
-    return jnp.einsum("bsi,ih->bsh", hidden, lp["down_proj"]["kernel"])
+    return _proj(lp["down_proj"], hidden)
 
 
 def _moe_mlp(lp, x, cfg: "LMConfig"):
@@ -200,10 +232,11 @@ def alibi_slopes(cfg: LMConfig) -> jax.Array:
 def _qkv(lp, cfg: LMConfig, x):
     b, s, _ = x.shape
     NH, NKV, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    q = jnp.einsum("bsh,hd->bsd", x, lp["q_proj"]["kernel"])
-    k = jnp.einsum("bsh,hd->bsd", x, lp["k_proj"]["kernel"])
-    v = jnp.einsum("bsh,hd->bsd", x, lp["v_proj"]["kernel"])
-    if cfg.attention_bias:
+    # _proj applies the bias when the param dict carries one (attention_bias)
+    q = _proj(lp["q_proj"], x)
+    k = _proj(lp["k_proj"], x)
+    v = _proj(lp["v_proj"], x)
+    if cfg.attention_bias and "kernel_int8" not in lp["q_proj"]:
         q = q + lp["q_proj"]["bias"]
         k = k + lp["k_proj"]["bias"]
         v = v + lp["v_proj"]["bias"]
@@ -346,7 +379,7 @@ def forward(
             mask = ((mem_part | ((kpos >= t_m) & causal_part))[None, None] & kv_ok)
             attn = mha_attention(q, kq, vq, mask=mask)
         attn = attn.reshape(b, s, -1)
-        attn = jnp.einsum("bsd,dh->bsh", attn, lp["o_proj"]["kernel"])
+        attn = _proj(lp["o_proj"], attn)
         hidden = residual + attn
         residual = hidden
         x = _norm(hidden, lp["post_attention_layernorm"], cfg)
@@ -435,7 +468,7 @@ def decode_step(
                                 kv_groups=cfg.kv_groups,
                                 bias=alibi_bias if use_alibi else None)
         attn = attn.reshape(b, 1, -1)
-        attn = jnp.einsum("bsd,dh->bsh", attn, lp["o_proj"]["kernel"])
+        attn = _proj(lp["o_proj"], attn)
         hidden = residual + attn
         residual = hidden
         x = _norm(hidden, lp["post_attention_layernorm"], cfg)

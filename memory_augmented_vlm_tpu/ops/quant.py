@@ -32,3 +32,39 @@ def int8_einsum_io(x: jax.Array, w: jax.Array) -> jax.Array:
     x2 = x.reshape(-1, x.shape[-1])
     out = dg(x2, w, (((1,), (0,)), ((), ())), precision=None)
     return out.reshape(*lead, w.shape[-1]).astype(x.dtype)
+
+
+def prequantize_kernel(w, axis_k: int = -2):
+    """Static symmetric per-output-channel int8 for a (..., K, N) kernel.
+
+    Returns (w_int8 same shape, scale with the K axis reduced). Used by both
+    the tower and LM prequantized paths (the measured-fast route: plain XLA
+    int8 dot_general on the int8 MXU, PERFORMANCE.md)."""
+    import jax.numpy as jnp
+
+    wf = w.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=axis_k), 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(wf / jnp.expand_dims(scale, axis_k)),
+                  -127, 127).astype(jnp.int8)
+    return wq, scale
+
+
+def int8_linear(p: dict, x: jax.Array) -> jax.Array:
+    """Prequantized dense layer: dynamic per-row activation int8 quant +
+    int8 x int8 -> int32 MXU matmul + rescale (+ optional bias).
+
+    p: {"kernel_int8": (K, N) int8, "scale": (N,) f32, optional "bias"}.
+    """
+    import jax.numpy as jnp
+
+    from memory_augmented_vlm_tpu.ops.pallas_int8 import quantize_rows
+
+    xq, sx = quantize_rows(x)
+    acc = jax.lax.dot_general(
+        xq, p["kernel_int8"], (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = (acc.astype(jnp.float32) * sx * p["scale"]).astype(x.dtype)
+    if "bias" in p:
+        out = out + p["bias"]
+    return out

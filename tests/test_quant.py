@@ -64,3 +64,44 @@ def test_prequantized_int8_tower_drift_bounded():
     assert rms_ratio < 0.05, rms_ratio
     # quantized params must be genuinely int8 (memory halves)
     assert qparams["layers"]["fc1"]["kernel_int8"].dtype == jnp.int8
+
+
+def test_prequantized_int8_lm_decode_drift_bounded():
+    """lm_int8 (the load_8bit LM half): logits drift vs fp32 stays in the
+    1e-2 RMS class and cached decode still matches full forward."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from memory_augmented_vlm_tpu.config import LMConfig
+    from memory_augmented_vlm_tpu.models import qwen2
+
+    cfg = LMConfig(vocab_size=50000, hidden_size=64, intermediate_size=128,
+                   num_hidden_layers=3, num_attention_heads=4,
+                   num_key_value_heads=2, head_dim=16, rope_theta=10000.0)
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    qparams = qwen2.prequantize_int8(params, cfg)
+    assert qparams["layers"]["up_proj"]["kernel_int8"].dtype == jnp.int8
+    assert "bias" in qparams["layers"]["q_proj"]  # qwen keeps qkv biases
+
+    ids = np.random.default_rng(0).integers(0, 1000, size=(1, 12))
+    emb = qwen2.embed_tokens(params, jnp.asarray(ids))
+    pos = jnp.arange(12)[None]
+    ref = np.asarray(qwen2.unembed(
+        params, cfg, qwen2.forward(params, cfg, emb, pos)[0]))
+    got = np.asarray(qwen2.unembed(
+        qparams, cfg, qwen2.forward(qparams, cfg, emb, pos)[0]))
+    rms = np.abs(got - ref).std() / ref.std()
+    assert rms < 0.05, rms
+
+    # cached decode consistency within the quantized model itself
+    hidden_full, _ = qwen2.forward(qparams, cfg, emb, pos)
+    _, cache = qwen2.forward(qparams, cfg, emb[:, :8], pos[:, :8],
+                             cache_max_len=16)
+    outs = []
+    for t in range(8, 12):
+        h, cache = qwen2.decode_step(qparams, cfg, emb[:, t:t + 1], cache)
+        outs.append(np.asarray(h)[:, 0])
+    np.testing.assert_allclose(np.stack(outs, axis=1),
+                               np.asarray(hidden_full)[:, 8:12],
+                               rtol=2e-4, atol=2e-4)
