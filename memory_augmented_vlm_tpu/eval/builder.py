@@ -172,10 +172,12 @@ def load_pretrained_model(
     if overwrite_config:
         raw.update(overwrite_config)
     if load_8bit or load_4bit:
-        # 4-bit collapses to the int8 path (v1 has no int4 kernels);
-        # load_8bit quantizes BOTH halves like bitsandbytes (tower + LM)
+        # both halves quantize like bitsandbytes (tower + LM); load_4bit
+        # stores the LM kernels as packed int4 (half the int8 footprint)
         raw["tower_int8"] = True
         raw["lm_int8"] = True
+        if load_4bit:
+            raw["lm_int4"] = True
     sd = hf_import.load_safetensors_dir(model_path)
     cfg = config_from_json_and_weights(raw, sd)
     dtype = jnp.bfloat16 if torch_dtype in ("bfloat16", "auto") else jnp.float32
@@ -218,7 +220,8 @@ def load_pretrained_model(
         from memory_augmented_vlm_tpu.models import qwen2 as _qwen2
 
         params["language_model"] = _qwen2.prequantize_int8(
-            params["language_model"], cfg.lm)
+            params["language_model"], cfg.lm,
+            bits=4 if raw.get("lm_int4") else 8)
 
     tokenizer = None
     try:

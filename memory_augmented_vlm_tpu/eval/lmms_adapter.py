@@ -212,5 +212,77 @@ class MavlmTpu(_LmmsBase):
                                       modality=modality))
         return results
 
-    def generate_until_multi_round(self, requests):
-        raise NotImplementedError
+    def answer_multi_round(self, turns, visuals=None, modality: str = "video",
+                           max_new_tokens: int = 128,
+                           temperature: float = 0.0, until=None) -> List[str]:
+        """Multi-round chat over one visual context: each user turn is
+        answered with the full history in the conversation template (the
+        multi-round protocol newer lmms-eval tasks use)."""
+        import jax.numpy as jnp  # noqa: F401  (backend touch for parity w/ answer)
+
+        pixels = None
+        if visuals is not None:
+            frames = np.asarray(visuals)
+            if modality == "video" and frames.shape[0] > self.max_frames_num:
+                idx = np.linspace(0, frames.shape[0] - 1,
+                                  self.max_frames_num).astype(int)
+                frames = frames[idx]
+            pixels = self.image_processor.preprocess(frames)
+        conv = conv_templates[self.conv_template].copy()
+        answers = []
+        stop_seqs = []
+        for stop in (until or []):
+            tok = self.tokenizer.encode(stop, add_special_tokens=False)
+            if tok:
+                stop_seqs.append(tuple(tok))
+        for round_idx, question in enumerate(turns):
+            if (round_idx == 0 and pixels is not None
+                    and constants.DEFAULT_IMAGE_TOKEN not in question):
+                question = constants.DEFAULT_IMAGE_TOKEN + "\n" + question
+            conv.append_message(conv.roles[0], question)
+            conv.append_message(conv.roles[1], None)
+            ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
+            out = self.model.generate(
+                ids[None],
+                images=[pixels] if pixels is not None else None,
+                modalities=[modality],
+                do_sample=temperature > 0,
+                temperature=temperature,
+                max_new_tokens=max_new_tokens,
+                eos_token_id=self.tokenizer.convert_tokens_to_ids("<|im_end|>"),
+                stop_sequences=tuple(stop_seqs),
+            )
+            text = self.tokenizer.decode(out[0], skip_special_tokens=True).strip()
+            for stop in (until or []):
+                if stop and stop in text:
+                    text = text.split(stop)[0]
+            text = text.strip()
+            conv.messages[-1][1] = text  # answered turn joins the history
+            answers.append(text)
+        return answers
+
+    def generate_until_multi_round(self, requests) -> List[List[str]]:
+        """Per request: a list of per-round responses."""
+        results = []
+        for req in requests:
+            contexts, gen_kwargs, doc_to_visual, doc_id, task, split = req.args
+            turns = list(contexts) if isinstance(contexts, (list, tuple)) \
+                else [contexts]
+            visuals = doc_to_visual(self.task_dict[task][split][doc_id]) \
+                if getattr(self, "task_dict", {}).get(task) else None
+            vis = None
+            modality = "video"
+            if visuals:
+                first = visuals[0]
+                if hasattr(first, "convert"):
+                    vis = np.stack([np.asarray(v.convert("RGB")) for v in visuals])
+                    modality = "image" if len(visuals) == 1 else "video"
+                else:
+                    vis = np.asarray(first)
+            results.append(self.answer_multi_round(
+                turns, visuals=vis, modality=modality,
+                max_new_tokens=gen_kwargs.get("max_new_tokens", 128),
+                temperature=gen_kwargs.get("temperature", 0.0),
+                until=gen_kwargs.get("until"),
+            ))
+        return results

@@ -127,21 +127,30 @@ def _act(x, act: str):
 
 
 def _proj(p, x):
-    """Dense projection; prequantized int8 params take the int8 MXU path
-    (lm_int8 / load_8bit serving mode)."""
+    """Dense projection; prequantized int8/int4 params take the int8 MXU
+    path (lm_int8 / load_8bit / load_4bit serving modes)."""
     if "kernel_int8" in p:
         from memory_augmented_vlm_tpu.ops.quant import int8_linear
 
         return int8_linear(p, x)
+    if "kernel_int4" in p:
+        from memory_augmented_vlm_tpu.ops.quant import int4_linear
+
+        return int4_linear(p, x)
     return jnp.einsum("...h,hd->...d", x, p["kernel"])
 
 
-def prequantize_int8(params, cfg: Optional[LMConfig] = None):
-    """Static-scale int8 LM weights (the load_8bit LM half; bitsandbytes
-    LLM.int8 equivalent capability). Quantizes the stacked per-layer dense
+def prequantize_int8(params, cfg: Optional[LMConfig] = None, *,
+                     bits: int = 8):
+    """Static-scale int8/int4 LM weights (the load_8bit / load_4bit LM half;
+    bitsandbytes equivalents). Quantizes the stacked per-layer dense
     kernels; embeddings / unembedding / norms stay high-precision (the
-    logits matmul is the quality-sensitive tail). MoE experts stay dense."""
-    from memory_augmented_vlm_tpu.ops.quant import prequantize_kernel
+    logits matmul is the quality-sensitive tail). MoE experts stay dense.
+    bits=4 packs two nibbles per byte — parameter HBM halves again."""
+    from memory_augmented_vlm_tpu.ops.quant import (
+        prequantize_kernel,
+        prequantize_kernel_int4,
+    )
 
     layers = params["layers"]
     new_layers = dict(layers)
@@ -149,8 +158,12 @@ def prequantize_int8(params, cfg: Optional[LMConfig] = None):
                  "gate_proj", "up_proj", "down_proj"):
         if name not in layers:
             continue
-        wq, scale = prequantize_kernel(layers[name]["kernel"])
-        entry = {"kernel_int8": wq, "scale": scale}
+        if bits == 4:
+            wq, scale = prequantize_kernel_int4(layers[name]["kernel"])
+            entry = {"kernel_int4": wq, "scale": scale}
+        else:
+            wq, scale = prequantize_kernel(layers[name]["kernel"])
+            entry = {"kernel_int8": wq, "scale": scale}
         if "bias" in layers[name]:
             entry["bias"] = layers[name]["bias"]
         new_layers[name] = entry

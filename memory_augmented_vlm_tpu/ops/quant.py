@@ -49,6 +49,48 @@ def prequantize_kernel(w, axis_k: int = -2):
     return wq, scale
 
 
+def prequantize_kernel_int4(w, axis_k: int = -2):
+    """Static symmetric per-output-channel int4 for a (..., K, N) kernel —
+    the load_4bit storage format (bitsandbytes 4-bit equivalent): values in
+    [-7, 7] offset-packed two-per-byte along K, so parameter HBM halves vs
+    int8. Returns (packed uint8 (..., K/2, N), scale with K reduced)."""
+    import jax.numpy as jnp
+
+    wf = w.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=axis_k), 1e-12) / 7.0
+    q = jnp.clip(jnp.round(wf / jnp.expand_dims(scale, axis_k)), -7, 7)
+    q = (q + 8).astype(jnp.uint8)              # nibbles in [1, 15]
+    k_ax = axis_k % q.ndim
+    even = jnp.take(q, jnp.arange(0, q.shape[k_ax], 2), axis=k_ax)
+    odd = jnp.take(q, jnp.arange(1, q.shape[k_ax], 2), axis=k_ax)
+    packed = (even | (odd << 4)).astype(jnp.uint8)
+    return packed, scale
+
+
+def unpack_int4(packed, axis_k: int = -2):
+    """(..., K/2, N) packed nibbles -> (..., K, N) int8 in [-7, 7]."""
+    import jax.numpy as jnp
+
+    lo = (packed & 0xF).astype(jnp.int8) - 8
+    hi = (packed >> 4).astype(jnp.int8) - 8
+    k_ax = axis_k % packed.ndim
+    stacked = jnp.stack([lo, hi], axis=k_ax + 1)   # (..., K/2, 2, N)
+    shape = list(packed.shape)
+    shape[k_ax] *= 2
+    return stacked.reshape(shape)
+
+
+def int4_linear(p: dict, x: jax.Array) -> jax.Array:
+    """Packed-int4 dense layer: unpack to int8 in-graph (hoisted out of
+    decode loops by XLA since weights are loop-invariant) then the int8 MXU
+    matmul. Parameter memory is the win; throughput matches int8."""
+    unpacked = {"kernel_int8": unpack_int4(p["kernel_int4"]),
+                "scale": p["scale"]}
+    if "bias" in p:
+        unpacked["bias"] = p["bias"]
+    return int8_linear(unpacked, x)
+
+
 def int8_linear(p: dict, x: jax.Array) -> jax.Array:
     """Prequantized dense layer: dynamic per-row activation int8 quant +
     int8 x int8 -> int32 MXU matmul + rescale (+ optional bias).

@@ -127,3 +127,30 @@ def test_dp_chunking_partitions_docs(adapter):
         for r in range(2)
     ]
     assert len(outs[0]["responses"]) + len(outs[1]["responses"]) == 5
+
+
+def test_generate_until_multi_round(adapter):
+    from lmms_eval.api.instance import Instance
+
+    doc = _docs(1)[0]
+    adapter.task_dict = {"tiny_mr": {"test": {0: doc}}}
+    req = Instance(
+        request_type="generate_until_multi_round",
+        arguments=(["what is this?", "and why?"],
+                   {"max_new_tokens": 4, "temperature": 0},
+                   lambda d: [d["image"]], 0, "tiny_mr", "test"),
+        idx=0,
+        metadata=("tiny_mr", 0, 1),
+    )
+    out = adapter.generate_until_multi_round([req])
+    assert len(out) == 1 and len(out[0]) == 2
+    assert all(isinstance(t, str) for t in out[0])
+
+
+def test_multi_round_history_grows(adapter):
+    rng = np.random.default_rng(3)
+    vis = rng.integers(0, 255, (4, 48, 64, 3), dtype=np.uint8)
+    answers = adapter.answer_multi_round(
+        ["first question", "second question"], visuals=vis,
+        modality="video", max_new_tokens=3)
+    assert len(answers) == 2

@@ -105,3 +105,53 @@ def test_prequantized_int8_lm_decode_drift_bounded():
     np.testing.assert_allclose(np.stack(outs, axis=1),
                                np.asarray(hidden_full)[:, 8:12],
                                rtol=2e-4, atol=2e-4)
+
+
+def test_int4_pack_unpack_roundtrip():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from memory_augmented_vlm_tpu.ops.quant import (
+        prequantize_kernel_int4,
+        unpack_int4,
+    )
+
+    w = jax.random.normal(jax.random.key(0), (3, 16, 8)) * 0.1
+    packed, scale = prequantize_kernel_int4(w)
+    assert packed.shape == (3, 8, 8) and packed.dtype == jnp.uint8
+    deq = unpack_int4(packed).astype(jnp.float32) * scale[:, None, :]
+    err = np.abs(np.asarray(deq) - np.asarray(w))
+    step = np.asarray(scale).max()
+    assert err.max() <= step * 0.51 + 1e-6  # within half a quant step
+
+
+def test_prequantized_int4_lm_drift_bounded():
+    """load_4bit: packed-int4 LM weights halve int8 storage; logits drift
+    stays bounded (coarser than int8 but finite and decode-consistent)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from memory_augmented_vlm_tpu.config import LMConfig
+    from memory_augmented_vlm_tpu.models import qwen2
+
+    cfg = LMConfig(vocab_size=50000, hidden_size=64, intermediate_size=128,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   num_key_value_heads=2, head_dim=16, rope_theta=10000.0)
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    q4 = qwen2.prequantize_int8(params, cfg, bits=4)
+    assert q4["layers"]["up_proj"]["kernel_int4"].dtype == jnp.uint8
+    # half the int8 byte count
+    assert (q4["layers"]["up_proj"]["kernel_int4"].size
+            == params["layers"]["up_proj"]["kernel"].size // 2)
+
+    ids = np.random.default_rng(0).integers(0, 1000, size=(1, 10))
+    emb = qwen2.embed_tokens(params, jnp.asarray(ids))
+    pos = jnp.arange(10)[None]
+    ref = np.asarray(qwen2.unembed(
+        params, cfg, qwen2.forward(params, cfg, emb, pos)[0]))
+    got = np.asarray(qwen2.unembed(
+        q4, cfg, qwen2.forward(q4, cfg, emb, pos)[0]))
+    rms = np.abs(got - ref).std() / ref.std()
+    assert rms < 0.15, rms
