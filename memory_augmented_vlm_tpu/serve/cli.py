@@ -61,15 +61,20 @@ def main(argv=None):
         prompt = conv.get_prompt()
         ids = tokenizer_image_token(prompt, tokenizer)
         eos = tokenizer.convert_tokens_to_ids("<|im_end|>")
-        out = model.generate(
+        # stream tokens as they decode (the reference CLI's streamer UX)
+        print("assistant: ", end="", flush=True)
+        answer = ""
+        for chunk in model.generate_stream(
             ids[None], images=[pixels] if pixels is not None else None,
             modalities=[modality], temperature=args.temperature,
             do_sample=args.temperature > 0,
             max_new_tokens=args.max_new_tokens, eos_token_id=eos,
-        )
-        answer = tokenizer.decode(out[0], skip_special_tokens=True)
+        ):
+            piece = tokenizer.decode(chunk, skip_special_tokens=True)
+            answer += piece
+            print(piece, end="", flush=True)
+        print()
         conv.messages[-1][1] = answer
-        print(f"assistant: {answer}")
 
 
 if __name__ == "__main__":
