@@ -37,6 +37,10 @@ def infer_vision_config(sd: dict, tower_name: str = "siglip"):
     test checkpoints). Returns the family-appropriate config dataclass."""
     import re as _re
 
+    if "imagebind" in tower_name.lower():
+        from memory_augmented_vlm_tpu.models.imagebind import ImageBindConfig
+
+        return ImageBindConfig()
     is_clip = any(k.endswith("embeddings.class_embedding") for k in sd)
     is_mlcd = any(k.endswith("class_pos_emb") for k in sd) or "mlcd" in tower_name.lower()
 
@@ -60,10 +64,12 @@ def infer_vision_config(sd: dict, tower_name: str = "siglip"):
 
         # MLCD has no positional table to read the grid from; RoPE-2D works
         # at any grid, so keep the family-default 336px unless the name says
-        # otherwise. Checkpoint holds layers up to the -2 tap.
+        # otherwise. The reference keeps the FULL tower and taps
+        # hidden_states[-2] (mlcd_encoder.py:63), so the stored layer count
+        # IS num_hidden_layers (select_layer drops the last at runtime).
         return MLCDVisionConfig(
             hidden_size=hidden, intermediate_size=inter,
-            num_hidden_layers=layers + 1, num_attention_heads=heads,
+            num_hidden_layers=layers, num_attention_heads=heads,
             image_size=448 if "448" in tower_name else 336, patch_size=patch,
         )
     if is_clip:
@@ -72,9 +78,12 @@ def infer_vision_config(sd: dict, tower_name: str = "siglip"):
         pos_key = next(k for k in sd if k.endswith("embeddings.position_embedding.weight"))
         num_positions = sd[pos_key].shape[0]           # patches + CLS
         side = int(round((num_positions - 1) ** 0.5))
+        # reference CLIP towers are stored FULL (only SigLIP deletes its
+        # last layer, siglip_encoder.py:571); hidden_states[-2] is taken at
+        # runtime via select_layer, so stored layers == num_hidden_layers
         return CLIPVisionConfig(
             hidden_size=hidden, intermediate_size=inter,
-            num_hidden_layers=layers + 1, num_attention_heads=heads,
+            num_hidden_layers=layers, num_attention_heads=heads,
             image_size=side * patch, patch_size=patch,
         )
     pos_key = next(k for k in sd if k.endswith("embeddings.position_embedding.weight"))
@@ -200,12 +209,38 @@ def load_pretrained_model(
 
     tower_sd = {k[len("model."):]: v for k, v in sd.items()
                 if k.startswith("model.vision_tower")}
-    lm_convert = (hf_import.convert_mixtral
-                  if cfg.lm.num_local_experts > 0 else hf_import.convert_qwen2)
+    if cfg.lm.num_local_experts > 0:
+        lm_convert = hf_import.convert_mixtral
+    elif "mpt" in str(raw.get("model_type", "")).lower() or any(
+            k.startswith(("transformer.wte", "model.transformer.wte"))
+            for k in sd):
+        lm_convert = hf_import.convert_mpt
+    else:
+        lm_convert = hf_import.convert_qwen2
+    tower = tower_for(cfg)
+    if tower_sd:
+        tower_params = tower.convert_hf(tower_sd)
+    else:
+        # reference checkpoints may omit the tower (delay_load pulls it from
+        # the hub at builder.py:289-294); offline we initialize fresh
+        import jax as _jax
+
+        tower_params = tower.init_params(_jax.random.key(0), dtype)
+    if any("mm_projector" in k for k in sd):
+        projector_params = hf_import.convert_projector(
+            sd, cfg.pipeline.mm_projector_type)
+    else:
+        from memory_augmented_vlm_tpu.models import projector as _projector
+
+        import jax as _jax
+
+        projector_params = _projector.init_params(
+            cfg.pipeline.mm_projector_type, tower.hidden_size,
+            cfg.lm.hidden_size, _jax.random.key(1))
     params = {
         "language_model": lm_convert(lm_sd, cfg.lm),
-        "vision_tower": tower_for(cfg).convert_hf(tower_sd),
-        "mm_projector": hf_import.convert_projector(sd, cfg.pipeline.mm_projector_type),
+        "vision_tower": tower_params,
+        "mm_projector": projector_params,
     }
     params.update(_memory_and_pe(sd, cfg, dtype))
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)

@@ -88,6 +88,8 @@ class MavlmTpu(_LmmsBase):
     def answer(self, question: str, visuals=None, modality: str = "video",
                max_new_tokens: int = 128, temperature: float = 0.0,
                until=None) -> str:
+        if isinstance(until, str):  # tasks may pass a bare stop string
+            until = [until]
         pixels = None
         if visuals is not None:
             frames = np.asarray(visuals)
@@ -228,6 +230,8 @@ class MavlmTpu(_LmmsBase):
                                   self.max_frames_num).astype(int)
                 frames = frames[idx]
             pixels = self.image_processor.preprocess(frames)
+        if isinstance(until, str):
+            until = [until]
         conv = conv_templates[self.conv_template].copy()
         answers = []
         stop_seqs = []

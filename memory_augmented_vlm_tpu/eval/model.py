@@ -161,7 +161,6 @@ class MavlmForCausalLM:
 
         lens = [int(e.shape[0]) for e in embeds_rows]
         smax = ((max(lens) + 127) // 128) * 128
-        h = embeds_rows[0].shape[-1]
         stacked = jnp.stack([
             jnp.pad(e, ((0, smax - e.shape[0]), (0, 0))) for e in embeds_rows
         ])

@@ -287,7 +287,10 @@ def convert_imagebind(sd, cfg: ImageBindConfig):
 def build_tower(vision_config: Optional[Any] = None):
     from memory_augmented_vlm_tpu.models.encoders import VisionTower
 
-    cfg = vision_config or ImageBindConfig()
+    # callers may hand the generic VisionConfig (VLMConfig's default field);
+    # imagebind needs its own geometry, so fall back to the family default
+    cfg = (vision_config if isinstance(vision_config, ImageBindConfig)
+           else ImageBindConfig())
     return VisionTower(
         family="imagebind",
         config=cfg,

@@ -104,7 +104,8 @@ def convert_open_clip(sd, cfg: clip_mod.CLIPVisionConfig):
 def build_tower(vision_tower_name: str, vision_config: Optional[Any] = None):
     from memory_augmented_vlm_tpu.models.encoders import VisionTower
 
-    cfg = vision_config or config_for(vision_tower_name)
+    cfg = (vision_config if isinstance(vision_config, clip_mod.CLIPVisionConfig)
+           else config_for(vision_tower_name))
     return VisionTower(
         family="open_clip",
         config=cfg,

@@ -249,7 +249,9 @@ def _qkv(lp, cfg: LMConfig, x):
     q = _proj(lp["q_proj"], x)
     k = _proj(lp["k_proj"], x)
     v = _proj(lp["v_proj"], x)
-    if cfg.attention_bias and "kernel_int8" not in lp["q_proj"]:
+    if cfg.attention_bias and "kernel" in lp["q_proj"]:
+        # quantized entries (kernel_int8 / kernel_int4) already added the
+        # bias inside int8_linear/int4_linear
         q = q + lp["q_proj"]["bias"]
         k = k + lp["k_proj"]["bias"]
         v = v + lp["v_proj"]["bias"]

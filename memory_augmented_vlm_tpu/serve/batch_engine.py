@@ -151,6 +151,11 @@ class BatchEngine:
             except queue.Empty:
                 return
             s = req.embeds.shape[0]
+            if s > self.max_len:
+                # reject oversized prompts instead of killing the engine
+                # thread (callers block on the sentinel)
+                req.out.put(None)
+                continue
             sp = min(((s + self.pad - 1) // self.pad) * self.pad, self.max_len)
             emb = jnp.pad(jnp.asarray(req.embeds, self._k.dtype),
                           ((0, sp - s), (0, 0)))[None]
@@ -164,26 +169,35 @@ class BatchEngine:
 
     def _loop(self):
         while not self._stop.is_set():
-            self._admit()
-            if all(r is None for r in self._slots):
-                self._stop.wait(0.01)  # idle: nothing admitted this round
+            try:
+                self._tick()
+            except Exception:  # noqa: BLE001 — never strand blocked callers
+                for slot, req in enumerate(self._slots):
+                    if req is not None:
+                        req.out.put(None)
+                        self._slots[slot] = None
+
+    def _tick(self):
+        self._admit()
+        if all(r is None for r in self._slots):
+            self._stop.wait(0.01)  # idle: nothing admitted this round
+            return
+        active = jnp.asarray([r is not None for r in self._slots])
+        self._rng, sub = jax.random.split(self._rng)
+        tok, self._logits, self._k, self._v, self._len = self._step(
+            self.params, self.cfg, self._logits, self._k, self._v,
+            self._len, active, self._temps, sub)
+        toks = np.asarray(tok)
+        for slot, req in enumerate(self._slots):
+            if req is None:
                 continue
-            active = jnp.asarray([r is not None for r in self._slots])
-            self._rng, sub = jax.random.split(self._rng)
-            tok, self._logits, self._k, self._v, self._len = self._step(
-                self.params, self.cfg, self._logits, self._k, self._v,
-                self._len, active, self._temps, sub)
-            toks = np.asarray(tok)
-            for slot, req in enumerate(self._slots):
-                if req is None:
-                    continue
-                t = int(toks[slot])
-                done = t in req.eos_ids
-                # eos is emitted and counted, matching vlm.generate's
-                # GenerateResult (callers strip specials when decoding)
-                req.out.put(np.asarray([t], np.int32))
-                req.emitted += 1
-                if done or req.emitted >= req.max_new_tokens or (
-                        int(self._len[slot]) >= self.max_len):
-                    req.out.put(None)
-                    self._slots[slot] = None
+            t = int(toks[slot])
+            done = t in req.eos_ids
+            # eos is emitted and counted, matching vlm.generate's
+            # GenerateResult (callers strip specials when decoding)
+            req.out.put(np.asarray([t], np.int32))
+            req.emitted += 1
+            if done or req.emitted >= req.max_new_tokens or (
+                    int(self._len[slot]) >= self.max_len):
+                req.out.put(None)
+                self._slots[slot] = None

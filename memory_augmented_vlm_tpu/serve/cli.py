@@ -64,15 +64,19 @@ def main(argv=None):
         # stream tokens as they decode (the reference CLI's streamer UX)
         print("assistant: ", end="", flush=True)
         answer = ""
+        all_tokens: list = []
         for chunk in model.generate_stream(
             ids[None], images=[pixels] if pixels is not None else None,
             modalities=[modality], temperature=args.temperature,
             do_sample=args.temperature > 0,
             max_new_tokens=args.max_new_tokens, eos_token_id=eos,
         ):
-            piece = tokenizer.decode(chunk, skip_special_tokens=True)
-            answer += piece
-            print(piece, end="", flush=True)
+            # cumulative decode keeps multi-byte characters whole across
+            # chunk boundaries
+            all_tokens.extend(int(t) for t in chunk)
+            full = tokenizer.decode(all_tokens, skip_special_tokens=True)
+            print(full[len(answer):], end="", flush=True)
+            answer = full
         print()
         conv.messages[-1][1] = answer
 

@@ -112,6 +112,7 @@ class ModelWorker:
                     if tok:
                         stop_seqs.append(tuple(tok))
                 text = ""
+                all_tokens: list = []
                 for chunk in self.model.generate_stream(
                     ids[None],
                     images=[pixels] if pixels is not None else None,
@@ -122,9 +123,12 @@ class ModelWorker:
                     max_new_tokens=int(params.get("max_new_tokens", 256)),
                     stop_sequences=tuple(stop_seqs),
                 ):
-                    piece = (self.tokenizer.decode(chunk, skip_special_tokens=True)
-                             if self.tokenizer else str(chunk.tolist()))
-                    text += piece
+                    # decode CUMULATIVELY: multi-byte characters split across
+                    # chunk boundaries would otherwise become U+FFFD
+                    all_tokens.extend(int(t) for t in chunk)
+                    text = (self.tokenizer.decode(all_tokens,
+                                                  skip_special_tokens=True)
+                            if self.tokenizer else str(all_tokens))
                     if stop and stop in text:
                         text = text.split(stop)[0]
                         yield json.dumps({"text": params.get("prompt", "") + text,

@@ -69,13 +69,17 @@ class SGLangWorker(ModelWorker):
                 eos_token_ids=(eos,),
                 temperature=float(params.get("temperature", 0.0)))
             text = ""
+            all_tokens: list = []
             stop = params.get("stop")
             while True:
                 chunk = out_q.get()
                 if chunk is None:
                     break
-                text += (self.tokenizer.decode(chunk, skip_special_tokens=True)
-                         if self.tokenizer else str(chunk.tolist()))
+                # cumulative decode: chunk-boundary-split multi-byte chars
+                all_tokens.extend(int(t) for t in chunk)
+                text = (self.tokenizer.decode(all_tokens,
+                                              skip_special_tokens=True)
+                        if self.tokenizer else str(all_tokens))
                 if stop and stop in text:
                     text = text.split(stop)[0]
                     yield json.dumps({"text": prompt + text,

@@ -87,6 +87,12 @@ document.getElementById('media').onchange = async (e) => {
     thumbs.innerHTML += '<img src="data:image/*;base64,'+b64+'">';
   }
 };
+function esc(s){
+  // user/model text goes through innerHTML — escape markup (XSS + literal
+  // '<image>' tokens in outputs)
+  return String(s).replace(/&/g,'&amp;').replace(/</g,'&lt;')
+                  .replace(/>/g,'&gt;').replace(/"/g,'&quot;');
+}
 function render(){
   log.innerHTML = '';
   for(const t of history){
@@ -95,7 +101,7 @@ function render(){
     const imgs = (t.images||[]).map(
       b=>'<img src="data:image/*;base64,'+b+'" style="height:54px">').join('');
     log.innerHTML += '<div class="turn '+cls+'"><div class=role>'+who+
-                     '</div>'+imgs+'<div>'+t.text+'</div></div>';
+                     '</div>'+imgs+'<div>'+esc(t.text)+'</div></div>';
   }
   log.scrollTop = log.scrollHeight;
 }
