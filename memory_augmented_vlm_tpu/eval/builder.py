@@ -57,7 +57,12 @@ def infer_vision_config(sd: dict, tower_name: str = "siglip"):
     layers = 1 + max(layer_idx)
     fc1_key = next(k for k in sd if k.endswith("layers.0.mlp.fc1.weight"))
     inter = sd[fc1_key].shape[0]
-    heads = 16 if hidden % 16 == 0 else 8
+    # true head counts for the published tower families (head count is not
+    # derivable from weight shapes; hidden//64 covers standard ViTs, with
+    # the exceptions pinned: SigLIP-SO400M 1152/16 (head_dim 72) and
+    # ViT-H/bigG 1280/1664 at 16 heads)
+    heads = {768: 12, 1024: 16, 1152: 16, 1280: 16, 1408: 16, 1664: 16}.get(
+        hidden, max(hidden // 64, 1))
 
     if is_mlcd:
         from memory_augmented_vlm_tpu.models.mlcd import MLCDVisionConfig

@@ -60,4 +60,8 @@ def evaluate_checkpoint(
 def _module_exists(name: str) -> bool:
     import importlib.util
 
-    return importlib.util.find_spec(name) is not None
+    try:
+        return importlib.util.find_spec(name) is not None
+    except ModuleNotFoundError:
+        # find_spec("pkg.__main__") raises when the parent package is absent
+        return False

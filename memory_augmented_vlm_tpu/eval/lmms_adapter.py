@@ -84,35 +84,72 @@ class MavlmTpu(_LmmsBase):
             overwrite_config=overwrite_config,
         )
 
+
+    # -- shared request plumbing -------------------------------------------
+    def _prep_pixels(self, visuals, modality: str):
+        """Subsample videos to max_frames_num and run the image processor."""
+        if visuals is None:
+            return None
+        frames = np.asarray(visuals)
+        if modality == "video" and frames.shape[0] > self.max_frames_num:
+            idx = np.linspace(0, frames.shape[0] - 1,
+                              self.max_frames_num).astype(int)
+            frames = frames[idx]
+        return self.image_processor.preprocess(frames)
+
+    @staticmethod
+    def _normalize_until(until) -> list:
+        """gen_kwargs['until'] may be None, a bare string, or a list."""
+        if until is None:
+            return []
+        if isinstance(until, str):
+            return [until]
+        return list(until)
+
+    def _encode_stops(self, until: list) -> tuple:
+        """Stop strings -> token-id sequences for in-loop keyword stopping
+        (KeywordsStoppingCriteria, llava/mm_utils.py:372); text-level
+        truncation stays as the backstop for mid-stream retokenization."""
+        seqs = []
+        for stop in until:
+            tok = self.tokenizer.encode(stop, add_special_tokens=False)
+            if tok:
+                seqs.append(tuple(tok))
+        return tuple(seqs)
+
+    @staticmethod
+    def _truncate_at_stops(text: str, until: list) -> str:
+        for stop in until:
+            if stop and stop in text:
+                text = text.split(stop)[0]
+        return text.strip()
+
+    def _doc_visuals(self, doc_to_visual, task: str, split: str, doc_id):
+        """doc_to_visual output (PIL images or arrays) -> (array, modality)."""
+        doc = (self.task_dict[task][split][doc_id]
+               if getattr(self, "task_dict", {}).get(task) else None)
+        visuals = (doc_to_visual(doc)
+                   if (doc is not None and callable(doc_to_visual)) else None)
+        if not visuals:
+            return None, "video", doc
+        first = visuals[0]
+        if hasattr(first, "convert"):  # PIL image(s)
+            vis = np.stack([np.asarray(v.convert("RGB")) for v in visuals])
+            return vis, ("image" if len(visuals) == 1 else "video"), doc
+        return np.asarray(first), "video", doc
+
     # -- core answer function (shared by lmms-eval and standalone use) -----
     def answer(self, question: str, visuals=None, modality: str = "video",
                max_new_tokens: int = 128, temperature: float = 0.0,
                until=None) -> str:
-        if isinstance(until, str):  # tasks may pass a bare stop string
-            until = [until]
-        pixels = None
-        if visuals is not None:
-            frames = np.asarray(visuals)
-            if modality == "video" and frames.shape[0] > self.max_frames_num:
-                idx = np.linspace(0, frames.shape[0] - 1,
-                                  self.max_frames_num).astype(int)
-                frames = frames[idx]
-            pixels = self.image_processor.preprocess(frames)
-            if constants.DEFAULT_IMAGE_TOKEN not in question:
-                question = constants.DEFAULT_IMAGE_TOKEN + "\n" + question
+        until = self._normalize_until(until)
+        pixels = self._prep_pixels(visuals, modality)
+        if pixels is not None and constants.DEFAULT_IMAGE_TOKEN not in question:
+            question = constants.DEFAULT_IMAGE_TOKEN + "\n" + question
         conv = conv_templates[self.conv_template].copy()
         conv.append_message(conv.roles[0], question)
         conv.append_message(conv.roles[1], None)
         ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
-        # "until" keywords stop INSIDE the jitted decode loop
-        # (KeywordsStoppingCriteria, llava/mm_utils.py:372): encode each stop
-        # string to ids; the text-level truncation below stays as a backstop
-        # for stop strings that tokenize differently mid-stream.
-        stop_seqs = []
-        for stop in (until or []):
-            tok = self.tokenizer.encode(stop, add_special_tokens=False)
-            if tok:
-                stop_seqs.append(tuple(tok))
         out = self.model.generate(
             ids[None],
             images=[pixels] if pixels is not None else None,
@@ -121,30 +158,17 @@ class MavlmTpu(_LmmsBase):
             temperature=temperature,
             max_new_tokens=max_new_tokens,
             eos_token_id=self.tokenizer.convert_tokens_to_ids("<|im_end|>"),
-            stop_sequences=tuple(stop_seqs),
+            stop_sequences=self._encode_stops(until),
         )
         text = self.tokenizer.decode(out[0], skip_special_tokens=True).strip()
-        for stop in (until or []):
-            if stop and stop in text:
-                text = text.split(stop)[0]
-        return text.strip()
+        return self._truncate_at_stops(text, until)
 
     # -- lmms-eval API ------------------------------------------------------
     def generate_until(self, requests) -> List[str]:
         results = []
         for req in requests:
             contexts, gen_kwargs, doc_to_visual, doc_id, task, split = req.args
-            visuals = doc_to_visual(self.task_dict[task][split][doc_id]) \
-                if getattr(self, "task_dict", {}).get(task) else None
-            vis = None
-            modality = "video"
-            if visuals:
-                first = visuals[0]
-                if hasattr(first, "convert"):  # PIL image(s)
-                    vis = np.stack([np.asarray(v.convert("RGB")) for v in visuals])
-                    modality = "image" if len(visuals) == 1 else "video"
-                else:
-                    vis = np.asarray(first)
+            vis, modality, _ = self._doc_visuals(doc_to_visual, task, split, doc_id)
             results.append(self.answer(
                 contexts,
                 visuals=vis,
@@ -163,16 +187,9 @@ class MavlmTpu(_LmmsBase):
 
         from memory_augmented_vlm_tpu.models import vlm as vlm_mod
 
-        pixels = None
-        if visuals is not None:
-            frames = np.asarray(visuals)
-            if modality == "video" and frames.shape[0] > self.max_frames_num:
-                idx = np.linspace(0, frames.shape[0] - 1,
-                                  self.max_frames_num).astype(int)
-                frames = frames[idx]
-            pixels = self.image_processor.preprocess(frames)
-            if constants.DEFAULT_IMAGE_TOKEN not in context:
-                context = constants.DEFAULT_IMAGE_TOKEN + "\n" + context
+        pixels = self._prep_pixels(visuals, modality)
+        if pixels is not None and constants.DEFAULT_IMAGE_TOKEN not in context:
+            context = constants.DEFAULT_IMAGE_TOKEN + "\n" + context
         conv = conv_templates[self.conv_template].copy()
         conv.append_message(conv.roles[0], context)
         conv.append_message(conv.roles[1], None)
@@ -195,21 +212,10 @@ class MavlmTpu(_LmmsBase):
         results = []
         for req in requests:
             contexts, doc_to_target, doc_to_visual, doc_id, task, split = req.args
-            doc = (self.task_dict[task][split][doc_id]
-                   if getattr(self, "task_dict", {}).get(task) else None)
+            vis, modality, doc = self._doc_visuals(doc_to_visual, task, split,
+                                                   doc_id)
             continuation = (doc_to_target(doc) if callable(doc_to_target)
                             else str(doc_to_target))
-            visuals = doc_to_visual(doc) if (doc is not None and
-                                             callable(doc_to_visual)) else None
-            vis = None
-            modality = "video"
-            if visuals:
-                first = visuals[0]
-                if hasattr(first, "convert"):
-                    vis = np.stack([np.asarray(v.convert("RGB")) for v in visuals])
-                    modality = "image" if len(visuals) == 1 else "video"
-                else:
-                    vis = np.asarray(first)
             results.append(self.score(contexts, continuation, visuals=vis,
                                       modality=modality))
         return results
@@ -220,25 +226,11 @@ class MavlmTpu(_LmmsBase):
         """Multi-round chat over one visual context: each user turn is
         answered with the full history in the conversation template (the
         multi-round protocol newer lmms-eval tasks use)."""
-        import jax.numpy as jnp  # noqa: F401  (backend touch for parity w/ answer)
-
-        pixels = None
-        if visuals is not None:
-            frames = np.asarray(visuals)
-            if modality == "video" and frames.shape[0] > self.max_frames_num:
-                idx = np.linspace(0, frames.shape[0] - 1,
-                                  self.max_frames_num).astype(int)
-                frames = frames[idx]
-            pixels = self.image_processor.preprocess(frames)
-        if isinstance(until, str):
-            until = [until]
+        until = self._normalize_until(until)
+        pixels = self._prep_pixels(visuals, modality)
         conv = conv_templates[self.conv_template].copy()
         answers = []
-        stop_seqs = []
-        for stop in (until or []):
-            tok = self.tokenizer.encode(stop, add_special_tokens=False)
-            if tok:
-                stop_seqs.append(tuple(tok))
+        stop_seqs = self._encode_stops(until)
         for round_idx, question in enumerate(turns):
             if (round_idx == 0 and pixels is not None
                     and constants.DEFAULT_IMAGE_TOKEN not in question):
@@ -254,13 +246,10 @@ class MavlmTpu(_LmmsBase):
                 temperature=temperature,
                 max_new_tokens=max_new_tokens,
                 eos_token_id=self.tokenizer.convert_tokens_to_ids("<|im_end|>"),
-                stop_sequences=tuple(stop_seqs),
+                stop_sequences=stop_seqs,
             )
             text = self.tokenizer.decode(out[0], skip_special_tokens=True).strip()
-            for stop in (until or []):
-                if stop and stop in text:
-                    text = text.split(stop)[0]
-            text = text.strip()
+            text = self._truncate_at_stops(text, until)
             conv.messages[-1][1] = text  # answered turn joins the history
             answers.append(text)
         return answers
@@ -272,17 +261,8 @@ class MavlmTpu(_LmmsBase):
             contexts, gen_kwargs, doc_to_visual, doc_id, task, split = req.args
             turns = list(contexts) if isinstance(contexts, (list, tuple)) \
                 else [contexts]
-            visuals = doc_to_visual(self.task_dict[task][split][doc_id]) \
-                if getattr(self, "task_dict", {}).get(task) else None
-            vis = None
-            modality = "video"
-            if visuals:
-                first = visuals[0]
-                if hasattr(first, "convert"):
-                    vis = np.stack([np.asarray(v.convert("RGB")) for v in visuals])
-                    modality = "image" if len(visuals) == 1 else "video"
-                else:
-                    vis = np.asarray(first)
+            vis, modality, _ = self._doc_visuals(doc_to_visual, task, split,
+                                                 doc_id)
             results.append(self.answer_multi_round(
                 turns, visuals=vis, modality=modality,
                 max_new_tokens=gen_kwargs.get("max_new_tokens", 128),

@@ -131,13 +131,14 @@ class MavlmForCausalLM:
                 row = row[m]
             rows.append(row)
 
+        has_sizes = image_sizes is not None and len(image_sizes) > 0
         embeds_rows = [
             self._row_embeds(
                 rows[b],
                 None if images is None else (
                     images[b] if isinstance(images, (list, tuple)) else images),
                 modalities[b] if b < len(modalities) else modalities[-1],
-                image_sizes[b:b + 1] if image_sizes else None,
+                list(image_sizes[b:b + 1]) if has_sizes else None,
             )
             for b in range(batch)
         ]

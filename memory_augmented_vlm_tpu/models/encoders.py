@@ -65,7 +65,11 @@ def build_vision_tower(vision_tower_name: str, *, s2: bool = False,
     if "mlcd" in name:
         from memory_augmented_vlm_tpu.models import mlcd as mlcd_mod
 
-        cfg = vision_config or mlcd_mod.MLCDVisionConfig()
+        # foreign-family configs (e.g. the default SigLIP-shaped
+        # VisionConfig) fall back to the family default
+        cfg = (vision_config
+               if isinstance(vision_config, mlcd_mod.MLCDVisionConfig)
+               else mlcd_mod.MLCDVisionConfig())
         return VisionTower(
             family="mlcd",
             config=cfg,
@@ -85,7 +89,9 @@ def build_vision_tower(vision_tower_name: str, *, s2: bool = False,
 
         return ib_mod.build_tower(vision_config)
     if "clip" in name or "openai" in name or "laion" in name or name.startswith("/"):
-        cfg = vision_config or clip_mod.CLIPVisionConfig()
+        cfg = (vision_config
+               if isinstance(vision_config, clip_mod.CLIPVisionConfig)
+               else clip_mod.CLIPVisionConfig())
         fwd = (
             (lambda params, pixels: clip_mod.s2_forward(params, cfg, pixels))
             if s2 else

@@ -70,12 +70,12 @@ def prequantize_int8(params):
 
     Per-channel weight scales keep the tower's fp32-parity error at the
     1e-2 class (same as bf16-MXU), pinned by tests/test_quant.py."""
+    from memory_augmented_vlm_tpu.ops.quant import prequantize_kernel
+
     layers = params["layers"]
     new_layers = dict(layers)
     for name in ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2"):
-        w = layers[name]["kernel"].astype(jnp.float32)
-        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=1), 1e-12) / 127.0  # (L, N)
-        wq = jnp.clip(jnp.round(w / scale[:, None, :]), -127, 127).astype(jnp.int8)
+        wq, scale = prequantize_kernel(layers[name]["kernel"])
         new_layers[name] = {"kernel_int8": wq, "scale": scale,
                             "bias": layers[name]["bias"]}
     out = dict(params)
@@ -85,20 +85,12 @@ def prequantize_int8(params):
 
 def _linear(p, x, quantized: bool = False):
     if "kernel_int8" in p:
-        # prequantized static-scale path: dynamic per-row activation quant +
-        # int8 x int8 MXU matmul through plain XLA dot_general (measured
-        # 101.7 TF/s vs 78.6 bf16 at tower shapes; the Pallas variant loses
-        # to weight re-reads per M-tile, and AQT re-quantizes weights per
-        # call — both slower than bf16 in context)
-        from memory_augmented_vlm_tpu.ops.pallas_int8 import quantize_rows
+        # shared prequantized int8 path (ops/quant.py int8_linear: dynamic
+        # per-row activation quant + plain-XLA int8 dot; the Pallas variant
+        # loses to weight re-reads per M-tile, AQT re-quantizes per call)
+        from memory_augmented_vlm_tpu.ops.quant import int8_linear
 
-        xq, sx = quantize_rows(x)
-        acc = jax.lax.dot_general(
-            xq, p["kernel_int8"], (((xq.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        out = acc.astype(jnp.float32) * sx * p["scale"]
-        return out.astype(x.dtype) + p["bias"]
+        return int8_linear(p, x)
     if quantized:
         from memory_augmented_vlm_tpu.ops.quant import int8_einsum_io
 

@@ -20,6 +20,7 @@ top of this).
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 from dataclasses import dataclass, field
@@ -31,22 +32,26 @@ import jax.numpy as jnp
 
 from memory_augmented_vlm_tpu.config import VLMConfig
 from memory_augmented_vlm_tpu.models import qwen2
+from memory_augmented_vlm_tpu.utils.logging import build_logger
+
+logger = build_logger("batch_engine")
 
 
 def _prefill_into_slot(params, cfg: VLMConfig, embeds, valid_len, slot,
-                       cache_k, cache_v, cache_len):
+                       cache_k, cache_v, cache_len, *, max_len: int):
     """Prefill one request (embeds (1, Sp, H) right-padded) and write its
     K/V into `slot` of the batched cache. Returns (first logits row, k, v,
-    len)."""
+    len). `cache_max_len=max_len` keeps the RoPE basis identical between
+    this prefill and later decode steps (qwen2.forward's dynamic-NTK
+    invariant: both must derive frequencies from the same cache bound)."""
     lm = params["language_model"]
-    sp = embeds.shape[1]
     hidden, pre_cache = qwen2.forward(
-        lm, cfg.lm, embeds, jnp.arange(sp)[None], valid_len=valid_len,
-        cache_max_len=sp,
+        lm, cfg.lm, embeds, jnp.arange(embeds.shape[1])[None],
+        valid_len=valid_len, cache_max_len=max_len,
     )
     last = jnp.take_along_axis(hidden, (valid_len - 1)[:, None, None], axis=1)
     logits = qwen2.unembed(lm, cfg.lm, last)[0, 0]          # (V,)
-    # write the (L, 1, Sp, Hkv, Dh) prefill K/V into the slot
+    # write the (L, 1, max_len, Hkv, Dh) prefill K/V into the slot
     cache_k = jax.lax.dynamic_update_slice(
         cache_k, pre_cache.k.astype(cache_k.dtype), (0, slot, 0, 0, 0))
     cache_v = jax.lax.dynamic_update_slice(
@@ -56,13 +61,22 @@ def _prefill_into_slot(params, cfg: VLMConfig, embeds, valid_len, slot,
 
 
 def _decode_step(params, cfg: VLMConfig, logits, cache_k, cache_v, cache_len,
-                 active, temps, rng):
+                 active, temps, top_ps, rng):
     """One token for every slot. Inactive slots decode garbage into their own
-    row (cheap; the row is re-prefilled on reuse) but never affect others."""
+    row (cheap; the row is re-prefilled on reuse) but never affect others.
+    temps/top_ps are per-row (ragged sampling params across the batch)."""
     lm = params["language_model"]
     b = logits.shape[0]
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     warped = logits / jnp.maximum(temps, 1e-4)[:, None]
+    # per-row nucleus filter (rows with top_p >= 1 keep everything)
+    asc = jnp.sort(warped, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(asc, axis=-1), axis=-1)
+    keep = cum > (1.0 - top_ps)[:, None]
+    first_kept = jnp.argmax(keep, axis=-1)
+    threshold = jnp.take_along_axis(asc, first_kept[:, None], axis=-1)
+    warped = jnp.where((warped < threshold) & (top_ps[:, None] < 1.0),
+                       -1e30, warped)
     sampled = jax.random.categorical(rng, warped, axis=-1).astype(jnp.int32)
     tok = jnp.where(temps > 0, sampled, greedy)
     tok = jnp.where(active, tok, 0)
@@ -79,10 +93,23 @@ class _Request:
     max_new_tokens: int
     eos_ids: Tuple[int, ...]
     temperature: float
+    top_p: float = 1.0
+    stop_sequences: Tuple[Tuple[int, ...], ...] = ()
     out: "queue.Queue[Optional[np.ndarray]]" = field(
         default_factory=queue.Queue)
     slot: int = -1
     emitted: int = 0
+    recent: list = field(default_factory=list)  # host-side stop-seq tail
+
+    def hits_stop(self, tok: int) -> bool:
+        if not self.stop_sequences:
+            return False
+        self.recent.append(tok)
+        lmax = max(len(s) for s in self.stop_sequences)
+        del self.recent[:-lmax]
+        return any(len(self.recent) >= len(s)
+                   and tuple(self.recent[-len(s):]) == tuple(s)
+                   for s in self.stop_sequences)
 
 
 class BatchEngine:
@@ -100,8 +127,11 @@ class BatchEngine:
         self._k, self._v, self._len = cache.k, cache.v, cache.length
         self._logits = jnp.zeros((num_slots, cfg.lm.vocab_size), jnp.float32)
         self._temps = jnp.zeros((num_slots,), jnp.float32)
+        self._topps = jnp.ones((num_slots,), jnp.float32)
         self._rng = jax.random.key(0)
-        self._prefill = jax.jit(_prefill_into_slot, static_argnames=("cfg",))
+        self._prefill = jax.jit(
+            functools.partial(_prefill_into_slot, max_len=max_len),
+            static_argnames=("cfg",))
         self._step = jax.jit(_decode_step, static_argnames=("cfg",))
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._slots: List[Optional[_Request]] = [None] * num_slots
@@ -121,11 +151,16 @@ class BatchEngine:
 
     def submit(self, embeds: np.ndarray, *, max_new_tokens: int = 128,
                eos_token_ids: Tuple[int, ...] = (151645,),
-               temperature: float = 0.0) -> "queue.Queue[Optional[np.ndarray]]":
+               temperature: float = 0.0, top_p: float = 1.0,
+               stop_sequences: Tuple[Tuple[int, ...], ...] = (),
+               ) -> "queue.Queue[Optional[np.ndarray]]":
         """Enqueue a spliced sequence; returns a queue yielding np token
-        chunks and a final None sentinel."""
+        chunks and a final None sentinel. top_p applies per row inside the
+        batched sampler; stop_sequences match host-side per token."""
         req = _Request(np.asarray(embeds), max_new_tokens,
-                       tuple(eos_token_ids), float(temperature))
+                       tuple(eos_token_ids), float(temperature),
+                       float(top_p),
+                       tuple(tuple(int(t) for t in s) for s in stop_sequences))
         self._queue.put(req)
         return req.out
 
@@ -150,20 +185,27 @@ class BatchEngine:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 return
-            s = req.embeds.shape[0]
-            if s > self.max_len:
-                # reject oversized prompts instead of killing the engine
-                # thread (callers block on the sentinel)
+            try:
+                s = req.embeds.shape[0]
+                if req.embeds.ndim != 2 or s > self.max_len:
+                    # reject malformed/oversized prompts instead of killing
+                    # the engine thread (callers block on the sentinel)
+                    req.out.put(None)
+                    continue
+                sp = min(((s + self.pad - 1) // self.pad) * self.pad,
+                         self.max_len)
+                emb = jnp.pad(jnp.asarray(req.embeds, self._k.dtype),
+                              ((0, sp - s), (0, 0)))[None]
+                logits_row, self._k, self._v, self._len = self._prefill(
+                    self.params, self.cfg, emb, jnp.asarray([s], jnp.int32),
+                    slot, self._k, self._v, self._len)
+            except Exception:  # noqa: BLE001 — release THIS caller, keep serving
+                logger.exception("batch-engine admit failed; request dropped")
                 req.out.put(None)
                 continue
-            sp = min(((s + self.pad - 1) // self.pad) * self.pad, self.max_len)
-            emb = jnp.pad(jnp.asarray(req.embeds, self._k.dtype),
-                          ((0, sp - s), (0, 0)))[None]
-            logits_row, self._k, self._v, self._len = self._prefill(
-                self.params, self.cfg, emb, jnp.asarray([s], jnp.int32),
-                slot, self._k, self._v, self._len)
             self._logits = self._logits.at[slot].set(logits_row)
             self._temps = self._temps.at[slot].set(req.temperature)
+            self._topps = self._topps.at[slot].set(req.top_p)
             req.slot = slot
             self._slots[slot] = req
 
@@ -172,6 +214,7 @@ class BatchEngine:
             try:
                 self._tick()
             except Exception:  # noqa: BLE001 — never strand blocked callers
+                logger.exception("batch-engine step failed; resetting slots")
                 for slot, req in enumerate(self._slots):
                     if req is not None:
                         req.out.put(None)
@@ -186,13 +229,13 @@ class BatchEngine:
         self._rng, sub = jax.random.split(self._rng)
         tok, self._logits, self._k, self._v, self._len = self._step(
             self.params, self.cfg, self._logits, self._k, self._v,
-            self._len, active, self._temps, sub)
+            self._len, active, self._temps, self._topps, sub)
         toks = np.asarray(tok)
         for slot, req in enumerate(self._slots):
             if req is None:
                 continue
             t = int(toks[slot])
-            done = t in req.eos_ids
+            done = t in req.eos_ids or req.hits_stop(t)
             # eos is emitted and counted, matching vlm.generate's
             # GenerateResult (callers strip specials when decoding)
             req.out.put(np.asarray([t], np.int32))

@@ -63,14 +63,22 @@ class SGLangWorker(ModelWorker):
                 np.asarray(ids, np.int64), pixels, modality, None)
             eos = self.tokenizer.convert_tokens_to_ids("<|im_end|>") \
                 if self.tokenizer else 151645
+            stop = params.get("stop")
+            stop_seqs = []
+            if stop and self.tokenizer:
+                tok = self.tokenizer.encode(stop, add_special_tokens=False)
+                if tok:
+                    stop_seqs.append(tuple(tok))
+            top_p = params.get("top_p")
             out_q = self.engine.submit(
                 np.asarray(embeds),
                 max_new_tokens=int(params.get("max_new_tokens", 256)),
                 eos_token_ids=(eos,),
-                temperature=float(params.get("temperature", 0.0)))
+                temperature=float(params.get("temperature", 0.0)),
+                top_p=float(top_p) if top_p is not None else 1.0,
+                stop_sequences=tuple(stop_seqs))
             text = ""
             all_tokens: list = []
-            stop = params.get("stop")
             while True:
                 chunk = out_q.get()
                 if chunk is None:
