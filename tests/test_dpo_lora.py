@@ -111,3 +111,53 @@ def test_lora_gradients_flow_only_through_factors():
                         jax.tree.leaves(merged["language_model"]))
     )
     assert changed
+
+
+def test_qlora_over_quantized_base():
+    """QLoRA (reference bits=4/8 peft path): factors ride over int8/int4
+    frozen kernels; merged forward starts at the dequantized base, gradients
+    reach only the factors, and the stored base stays quantized."""
+    import numpy as np
+
+    from memory_augmented_vlm_tpu.config import LMConfig
+    from memory_augmented_vlm_tpu.models import qwen2
+    from memory_augmented_vlm_tpu.train import lora
+
+    cfg = LMConfig(vocab_size=1000, hidden_size=32, intermediate_size=64,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   num_key_value_heads=2, head_dim=8, rope_theta=10000.0)
+    base = {"language_model": qwen2.init_params(cfg, jax.random.key(0))}
+    for bits in (8, 4):
+        qbase = {"language_model": qwen2.prequantize_int8(
+            base["language_model"], cfg, bits=bits)}
+        lcfg = lora.LoraConfig(r=4, alpha=8)
+        factors = lora.init_lora(qbase, lcfg, jax.random.key(1))
+        key = "kernel_int8" if bits == 8 else "kernel_int4"
+        fac = factors["language_model"]["layers"]["up_proj"][key]
+        assert fac is not None and fac["a"].shape[-1] == 4
+        # int4 factors use the LOGICAL contraction dim (2x the packed bytes)
+        assert fac["a"].shape[-2] == 32
+
+        merged = lora.apply_lora(qbase, factors, lcfg, freeze_base=True)
+        up = merged["language_model"]["layers"]["up_proj"]
+        assert "kernel" in up and up["kernel"].shape == (2, 32, 64)
+
+        # B=0 init: merged forward equals the plain quantized forward
+        ids = jnp.asarray(np.arange(6)[None])
+        emb = qwen2.embed_tokens(qbase["language_model"], ids)
+        pos = jnp.arange(6)[None]
+        ref = np.asarray(qwen2.forward(qbase["language_model"], cfg, emb, pos)[0])
+        got = np.asarray(qwen2.forward(merged["language_model"], cfg, emb, pos)[0])
+        np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+        # gradients flow only to factors; base stays quantized in storage
+        def loss_fn(f):
+            m = lora.apply_lora(qbase, f, lcfg, freeze_base=True)
+            h, _ = qwen2.forward(m["language_model"], cfg, emb, pos)
+            return (h ** 2).mean()
+
+        grads = jax.grad(loss_fn)(factors)
+        gb = grads["language_model"]["layers"]["up_proj"][key]["b"]
+        assert float(jnp.abs(gb).max()) > 0
+        assert qbase["language_model"]["layers"]["up_proj"][key].dtype in (
+            jnp.int8, jnp.uint8)
