@@ -53,6 +53,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--mm_projector_type", type=str, default="mlp2x_gelu")
     p.add_argument("--mm_spatial_pool_mode", type=str, default="bilinear")
     p.add_argument("--dropout_frames", action="store_true")
+    p.add_argument("--tower_int8", action="store_true",
+                   help="run the frozen tower with prequantized int8 weights "
+                        "on the int8 MXU (it is stop-gradient'ed regardless; "
+                        "~1.2x tower speedup, drift in the bf16 1e-2 class)")
     # data
     p.add_argument("--data_path", type=str, required=True)
     p.add_argument("--image_folder", type=str, default=None)
@@ -120,6 +124,9 @@ def train(args) -> Dict[str, float]:
         raise ValueError(
             f"--mm_projector_type {args.mm_projector_type} conflicts with the "
             f"loaded checkpoint's {cfg.pipeline.mm_projector_type}")
+    if getattr(args, "tower_int8", False) and "mm_vision_tower" in args.mm_tunable_parts:
+        raise ValueError("--tower_int8 conflicts with training the tower "
+                         "(mm_tunable_parts contains mm_vision_tower)")
     pipeline = dataclasses.replace(
         cfg.pipeline,
         dropout_frames=args.dropout_frames or cfg.pipeline.dropout_frames,
@@ -127,11 +134,18 @@ def train(args) -> Dict[str, float]:
         add_time_instruction=args.add_time_instruction,
         frames_upbound=args.frames_upbound,
         tokenizer_model_max_length=args.model_max_length,
+        tower_int8=getattr(args, "tower_int8", False) or cfg.pipeline.tower_int8,
     )
     if not args.model_name_or_path:
         pipeline = dataclasses.replace(
             pipeline, mm_projector_type=args.mm_projector_type)
     cfg = dataclasses.replace(cfg, pipeline=pipeline)
+    if cfg.pipeline.tower_int8 and "kernel_int8" not in str(
+            jax.tree_util.tree_structure(params["vision_tower"])):
+        from memory_augmented_vlm_tpu.models import siglip as _siglip
+
+        params["vision_tower"] = _siglip.prequantize_int8(params["vision_tower"])
+        rank0_print("tower: prequantized int8 (frozen, int8 MXU)")
 
     n_dev = len(jax.devices())
     fsdp = args.mesh_fsdp or max(1, n_dev // (args.mesh_data * args.mesh_tp))

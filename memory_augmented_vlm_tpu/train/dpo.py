@@ -148,7 +148,7 @@ def make_dpo_train_step(cfg: VLMConfig, opt_cfg: OptimizerConfig,
         def loss_fn(p):
             return dpo_forward(p, ref_params, cfg, dpo_cfg, batch, nseg=nseg)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, metrics), grads = trainer_mod.value_and_grad_params(loss_fn, state.params)
         optimizer = build_optimizer(state.params, opt_cfg)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u.astype(p.dtype),

@@ -296,7 +296,7 @@ def make_ppo_train_step(cfg: VLMConfig, opt_cfg: OptimizerConfig,
                 batch.response_mask, advantages, returns, ppo_cfg)
             return pg + vf, stats
 
-        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, stats), grads = trainer_mod.value_and_grad_params(loss_fn, state.params)
         optimizer = build_optimizer(state.params, opt_cfg)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u.astype(p.dtype),

@@ -134,7 +134,7 @@ def make_sft_train_step(cfg: VLMConfig, opt_cfg: OptimizerConfig):
             loss, n = sft_loss(p, cfg, input_ids, labels, valid_len)
             return loss, {"loss": loss, "supervised_tokens": n}
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, metrics), grads = trainer_mod.value_and_grad_params(loss_fn, state.params)
         optimizer = build_optimizer(state.params, opt_cfg)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u.astype(p.dtype),

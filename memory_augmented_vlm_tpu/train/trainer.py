@@ -232,12 +232,33 @@ def text_loss(params, cfg: VLMConfig, batch: TextBatch):
     return loss, {"loss": loss, "target_tokens": count}
 
 
+
+def value_and_grad_params(loss_fn, params):
+    """`jax.value_and_grad` over a param pytree that may contain integer
+    leaves (prequantized int8/int4 frozen modules, e.g. --tower_int8).
+
+    Integer leaves get `float0` tangents under `allow_int=True`; they are
+    replaced with same-dtype zeros so optax's masked set_to_zero branch and
+    the `p + u` update stay well-typed (frozen leaves update by exact 0)."""
+    out, grads = jax.value_and_grad(loss_fn, has_aux=True, allow_int=True)(params)
+
+    def fix(g, p):
+        if getattr(g, "dtype", None) == jax.dtypes.float0:
+            # float zeros: optax's global-norm clipping divides grads by a
+            # float norm before the mask zeroes frozen updates; the final
+            # `p + u.astype(p.dtype)` lands back on the integer param
+            return jnp.zeros(p.shape, jnp.float32)
+        return g
+
+    return out, jax.tree.map(fix, grads, params)
+
+
 def make_text_train_step(cfg: VLMConfig, opt_cfg: OptimizerConfig):
     def train_step(state: "TrainState", batch: TextBatch):
         def loss_fn(params):
             return text_loss(params, cfg, batch)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, metrics), grads = value_and_grad_params(loss_fn, state.params)
         optimizer = build_optimizer(state.params, opt_cfg)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u.astype(p.dtype),
@@ -263,7 +284,7 @@ def make_train_step(cfg: VLMConfig, opt_cfg: OptimizerConfig, *, nseg: int,
             return multimodal_loss(params, cfg, batch, nseg=nseg,
                                    drop_frames=drop_frames)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, metrics), grads = value_and_grad_params(loss_fn, state.params)
         optimizer = build_optimizer(state.params, opt_cfg)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u.astype(p.dtype),

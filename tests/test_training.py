@@ -144,3 +144,34 @@ def test_gradient_accumulation_semantics(setup):
     state, _ = step_fn(state, batch)
     after = np.asarray(jax.tree.leaves(state.params["memory"]["memory_fuser"])[0])
     assert not np.allclose(before, after)  # applied on the 2nd micro-step
+
+
+def test_train_step_with_int8_tower():
+    """--tower_int8 training: the frozen tower holds int8 kernels inside the
+    differentiated param pytree; grads must flow to the trainable modules
+    (float0 tangents on integer leaves become exact-zero updates)."""
+    import dataclasses
+
+    from memory_augmented_vlm_tpu.models import siglip
+
+    cfg = dataclasses.replace(
+        TINY, pipeline=dataclasses.replace(TINY.pipeline, tower_int8=True))
+    params = vlm.init_params(cfg, jax.random.key(0))
+    params["vision_tower"] = siglip.prequantize_int8(params["vision_tower"])
+    opt_cfg = OptimizerConfig(learning_rate=1e-3, warmup_ratio=0.0,
+                              schedule="constant", mm_vision_tower_lr=None,
+                              total_steps=4)
+    state = trainer.init_train_state(params, opt_cfg)
+    step = jax.jit(trainer.make_train_step(cfg, opt_cfg, nseg=1))
+    batch = _make_batch(np.random.default_rng(0))
+    before_tower = jax.tree.leaves(state.params["vision_tower"])[0]
+    losses = []
+    for _ in range(2):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert float(m["grad_norm"]) > 0
+    # the quantized tower stays bit-identical (frozen by dtype + mask)
+    after_tower = jax.tree.leaves(state.params["vision_tower"])[0]
+    np.testing.assert_array_equal(np.asarray(before_tower),
+                                  np.asarray(after_tower))
