@@ -47,7 +47,11 @@ def _lm_layer_rules() -> dict:
 
 
 def _vision_rules() -> dict:
-    dense_io = {"kernel": P(None, None, "fsdp"), "bias": P(None, "fsdp")}
+    # prequantized entries (tower_int8) shard like their fp counterparts so
+    # the int8 memory halving survives FSDP (replicated int8 would cost 4x
+    # the per-device HBM of fsdp-sharded bf16 on an 8-way mesh)
+    dense_io = {"kernel": P(None, None, "fsdp"), "bias": P(None, "fsdp"),
+                "kernel_int8": P(None, None, "fsdp"), "scale": P(None, "fsdp")}
     return {
         "patch_embedding": {"kernel": P(None, None, None, "fsdp"), "bias": P("fsdp")},
         "position_embedding": P(None, "fsdp"),

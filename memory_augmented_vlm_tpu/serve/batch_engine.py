@@ -69,14 +69,20 @@ def _decode_step(params, cfg: VLMConfig, logits, cache_k, cache_v, cache_len,
     b = logits.shape[0]
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     warped = logits / jnp.maximum(temps, 1e-4)[:, None]
-    # per-row nucleus filter (rows with top_p >= 1 keep everything)
-    asc = jnp.sort(warped, axis=-1)
-    cum = jnp.cumsum(jax.nn.softmax(asc, axis=-1), axis=-1)
-    keep = cum > (1.0 - top_ps)[:, None]
-    first_kept = jnp.argmax(keep, axis=-1)
-    threshold = jnp.take_along_axis(asc, first_kept[:, None], axis=-1)
-    warped = jnp.where((warped < threshold) & (top_ps[:, None] < 1.0),
-                       -1e30, warped)
+
+    def nucleus(w):
+        # per-row top-p; the top token always survives (min_tokens_to_keep=1
+        # — top_p ~ 0 must pick the argmax, not fall open to the full dist)
+        asc = jnp.sort(w, axis=-1)
+        cum = jnp.cumsum(jax.nn.softmax(asc, axis=-1), axis=-1)
+        keep = cum > (1.0 - top_ps)[:, None]
+        keep = keep.at[:, -1].set(True)
+        first_kept = jnp.argmax(keep, axis=-1)
+        threshold = jnp.take_along_axis(asc, first_kept[:, None], axis=-1)
+        return jnp.where((w < threshold) & (top_ps[:, None] < 1.0), -1e30, w)
+
+    # skip the full-vocab sort on the common all-greedy / top_p=1 path
+    warped = jax.lax.cond(jnp.all(top_ps >= 1.0), lambda w: w, nucleus, warped)
     sampled = jax.random.categorical(rng, warped, axis=-1).astype(jnp.int32)
     tok = jnp.where(temps > 0, sampled, greedy)
     tok = jnp.where(active, tok, 0)

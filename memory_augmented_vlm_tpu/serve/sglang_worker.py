@@ -64,11 +64,13 @@ class SGLangWorker(ModelWorker):
             eos = self.tokenizer.convert_tokens_to_ids("<|im_end|>") \
                 if self.tokenizer else 151645
             stop = params.get("stop")
+            stops = ([stop] if isinstance(stop, str) else list(stop or []))
             stop_seqs = []
-            if stop and self.tokenizer:
-                tok = self.tokenizer.encode(stop, add_special_tokens=False)
-                if tok:
-                    stop_seqs.append(tuple(tok))
+            if self.tokenizer:
+                for s in stops:
+                    tok = self.tokenizer.encode(s, add_special_tokens=False)
+                    if tok:
+                        stop_seqs.append(tuple(tok))
             top_p = params.get("top_p")
             out_q = self.engine.submit(
                 np.asarray(embeds),
@@ -88,8 +90,9 @@ class SGLangWorker(ModelWorker):
                 text = (self.tokenizer.decode(all_tokens,
                                               skip_special_tokens=True)
                         if self.tokenizer else str(all_tokens))
-                if stop and stop in text:
-                    text = text.split(stop)[0]
+                hit = next((s for s in stops if s and s in text), None)
+                if hit is not None:
+                    text = text.split(hit)[0]
                     yield json.dumps({"text": prompt + text,
                                       "error_code": 0}).encode() + b"\0"
                     break

@@ -124,9 +124,6 @@ def train(args) -> Dict[str, float]:
         raise ValueError(
             f"--mm_projector_type {args.mm_projector_type} conflicts with the "
             f"loaded checkpoint's {cfg.pipeline.mm_projector_type}")
-    if getattr(args, "tower_int8", False) and "mm_vision_tower" in args.mm_tunable_parts:
-        raise ValueError("--tower_int8 conflicts with training the tower "
-                         "(mm_tunable_parts contains mm_vision_tower)")
     pipeline = dataclasses.replace(
         cfg.pipeline,
         dropout_frames=args.dropout_frames or cfg.pipeline.dropout_frames,
@@ -140,12 +137,26 @@ def train(args) -> Dict[str, float]:
         pipeline = dataclasses.replace(
             pipeline, mm_projector_type=args.mm_projector_type)
     cfg = dataclasses.replace(cfg, pipeline=pipeline)
-    if cfg.pipeline.tower_int8 and "kernel_int8" not in str(
-            jax.tree_util.tree_structure(params["vision_tower"])):
-        from memory_augmented_vlm_tpu.models import siglip as _siglip
+    if cfg.pipeline.tower_int8:
+        # the FINAL flag value (CLI or checkpoint config.json) decides; a
+        # quantized tower cannot also be trained
+        if "mm_vision_tower" in args.mm_tunable_parts:
+            raise ValueError(
+                "tower_int8 (from --tower_int8 or the checkpoint config) "
+                "conflicts with training the tower (mm_tunable_parts "
+                "contains mm_vision_tower)")
+        if not cfg.pipeline.mm_vision_tower.lower().startswith(
+                ("google/siglip", "siglip")):
+            raise ValueError(
+                f"tower_int8 supports the SigLIP family only; tower is "
+                f"{cfg.pipeline.mm_vision_tower}")
+        if "kernel_int8" not in str(
+                jax.tree_util.tree_structure(params["vision_tower"])):
+            from memory_augmented_vlm_tpu.models import siglip as _siglip
 
-        params["vision_tower"] = _siglip.prequantize_int8(params["vision_tower"])
-        rank0_print("tower: prequantized int8 (frozen, int8 MXU)")
+            params["vision_tower"] = _siglip.prequantize_int8(
+                params["vision_tower"])
+            rank0_print("tower: prequantized int8 (frozen, int8 MXU)")
 
     n_dev = len(jax.devices())
     fsdp = args.mesh_fsdp or max(1, n_dev // (args.mesh_data * args.mesh_tp))

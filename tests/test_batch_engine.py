@@ -85,3 +85,42 @@ def test_eos_frees_slot_for_queued_request(tiny):
         np.testing.assert_array_equal(rb, _reference(params, cfg, b, 5))
     finally:
         engine.shutdown()
+
+
+def test_top_p_zero_keeps_top_token(tiny):
+    """top_p ~ 0 must restrict to the argmax (min_tokens_to_keep=1), not
+    fall open to the full distribution."""
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=1, max_len=128).start()
+    try:
+        rng = np.random.default_rng(4)
+        ids = rng.integers(0, 1000, size=(5,))
+        greedy = _reference(params, cfg, ids, 6)
+        sampled = engine.generate(_embeds(params, ids), max_new_tokens=6,
+                                  eos_token_ids=(49999,), temperature=0.8,
+                                  top_p=1e-6)
+        np.testing.assert_array_equal(sampled, greedy)
+    finally:
+        engine.shutdown()
+
+
+def test_engine_stop_sequences(tiny):
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=1, max_len=128).start()
+    try:
+        rng = np.random.default_rng(5)
+        ids = rng.integers(0, 1000, size=(4,))
+        full = _reference(params, cfg, ids, 8)
+        assert len(full) >= 3
+        stop = tuple(int(t) for t in full[1:3])
+        got = engine.generate(_embeds(params, ids), max_new_tokens=8,
+                              eos_token_ids=(49999,), stop_sequences=(stop,))
+        # exact parity with the single-request in-loop keyword stopping
+        ref = vlm.generate(params, cfg, jnp.asarray(_embeds(params, ids)),
+                           max_new_tokens=8, eos_token_ids=(49999,),
+                           stop_sequences=(stop,), pad_to_multiple=128)
+        want = np.asarray(ref.tokens)[: int(ref.num_tokens)]
+        np.testing.assert_array_equal(got, want)
+        assert len(want) < len(full)  # the stop actually truncated
+    finally:
+        engine.shutdown()
