@@ -144,12 +144,19 @@ def forward_with_value(params, cfg: VLMConfig, embeds, positions, valid_len):
 # ---------------------------------------------------------------------------
 
 def kl_penalty(logprob, ref_logprob, kind: str = "kl"):
+    """ppo_trainer.py:1069-1083. kl/abs/mse take realized-token logprobs
+    (B, T); `full` takes full log-distributions (B, T, V) and returns the
+    exact per-token KL(policy || ref) (the reference's
+    F.kl_div(ref_logprob, logprob, log_target=True).sum(-1))."""
     if kind == "kl":
         return logprob - ref_logprob
     if kind == "abs":
         return jnp.abs(logprob - ref_logprob)
     if kind == "mse":
         return 0.5 * jnp.square(logprob - ref_logprob)
+    if kind == "full":
+        p = jnp.exp(logprob)
+        return jnp.sum(p * (logprob - ref_logprob), axis=-1)
     raise NotImplementedError(kind)
 
 

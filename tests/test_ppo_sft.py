@@ -283,3 +283,18 @@ def test_sft_train_step_decreases_loss(tiny_policy):
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0]
     assert all(np.isfinite(losses))
+
+
+def test_kl_penalty_full_matches_torch_kl_div():
+    """The 'full' KL variant (ppo_trainer.py:1080-1082) over complete token
+    distributions."""
+    rng = np.random.default_rng(7)
+    logits_p = rng.standard_normal((2, 5, 16)).astype(np.float32)
+    logits_q = rng.standard_normal((2, 5, 16)).astype(np.float32)
+    logp = torch.log_softmax(torch.from_numpy(logits_p), dim=-1)
+    logq = torch.log_softmax(torch.from_numpy(logits_q), dim=-1)
+    want = torch.nn.functional.kl_div(
+        logq, logp, log_target=True, reduction="none").sum(-1).numpy()
+    got = np.asarray(ppo.kl_penalty(
+        jnp.asarray(logp.numpy()), jnp.asarray(logq.numpy()), "full"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
