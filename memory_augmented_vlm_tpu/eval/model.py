@@ -103,10 +103,6 @@ class MavlmForCausalLM:
         ids (KeywordsStoppingCriteria, llava/mm_utils.py:372); matching
         inside the jitted loop, so no decode-loop Python round trips.
         """
-        if num_beams != 1:
-            raise NotImplementedError(
-                "beam search is out of scope (reference eval recipes use "
-                "greedy/sampling; num_beams=1)")
         ids_arr = _to_numpy(input_ids).astype(np.int64)
         if ids_arr.ndim == 1:
             ids_arr = ids_arr[None]
@@ -155,6 +151,25 @@ class MavlmForCausalLM:
                                  for s in (stop_sequences or ())),
             rng=jax.random.key(rng_seed),
         )
+        if num_beams > 1:
+            from memory_augmented_vlm_tpu.models import beam_search
+
+            if do_sample:
+                raise NotImplementedError("beam sampling is not supported; "
+                                          "use do_sample OR num_beams")
+            rows_out = [
+                beam_search.beam_search(
+                    self.params, self.cfg, e, num_beams=num_beams,
+                    max_new_tokens=max_new_tokens, eos_token_ids=eos,
+                    length_penalty=float(kwargs.get("length_penalty", 1.0)))
+                for e in embeds_rows
+            ]
+            width = max(1, max(len(r) for r in rows_out))
+            result = np.zeros((batch, width), np.int64)
+            for b, r in enumerate(rows_out):
+                result[b, : len(r)] = r
+            return result
+
         if batch == 1:
             out = vlm.generate(self.params, self.cfg, embeds_rows[0], **kn)
             n = int(out.num_tokens)

@@ -1,0 +1,163 @@
+"""Beam search decode — the HF `GenerationMixin` beam path of the reference's
+`generate` surface (llava_qwen.py:116-136 accepts num_beams), jitted.
+
+Semantics mirror HF beam_search with do_sample=False:
+  - the prefill's top-K tokens seed K beams (first step draws from one
+    distribution, scores = logprob);
+  - each step ranks the K*V continuations, takes the top 2K candidates,
+    moves eos candidates into a K-slot finished pool (score =
+    sum_logprobs / len**length_penalty), and keeps the best K non-eos
+    candidates as running beams (HF's "top 2K so K survivors always exist");
+  - early_stopping=True semantics: stop when the finished pool holds K
+    hypotheses (or max_new_tokens is reached); remaining running beams then
+    compete with the pool at their current length, exactly like HF's
+    finalize step.
+
+The KV cache is carried at batch K and gathered by parent-beam index each
+step. Parity vs HF generate(num_beams=k, early_stopping=True) is pinned in
+tests/test_beam_search.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from memory_augmented_vlm_tpu.config import VLMConfig
+from memory_augmented_vlm_tpu.models import qwen2
+
+NEG_INF = -1.0e9
+
+
+def _gather_beams(tree, idx):
+    return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), tree)
+
+
+def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
+               *, num_beams: int, max_new_tokens: int, length_penalty: float):
+    """embeds (1, Smax, H) right-padded. Returns (tokens (max_new,), n)."""
+    lm = params["language_model"]
+    k = num_beams
+    smax = embeds.shape[1]
+    hidden, cache0 = qwen2.forward(
+        lm, cfg.lm, embeds, jnp.arange(smax)[None], valid_len=valid_len,
+        cache_max_len=smax + max_new_tokens,
+    )
+    last = jnp.take_along_axis(hidden, (valid_len - 1)[:, None, None], axis=1)
+    logits0 = qwen2.unembed(lm, cfg.lm, last)[0, 0]          # (V,)
+    logp0 = jax.nn.log_softmax(logits0)
+
+    # seed K beams from the prefill distribution
+    scores, first_tok = jax.lax.top_k(logp0, k)              # (K,)
+    cache = qwen2.KVCache(
+        k=jnp.repeat(cache0.k, k, axis=1),
+        v=jnp.repeat(cache0.v, k, axis=1),
+        length=jnp.repeat(cache0.length, k, axis=0),
+    )
+    tokens0 = jnp.zeros((k, max_new_tokens), jnp.int32).at[:, 0].set(first_tok)
+
+    def is_eos(tok):
+        return jnp.any(tok[..., None] == eos_ids[None, :], axis=-1)
+
+    # first-step eos handling: an immediately-finished beam
+    fin_scores0 = jnp.full((k,), NEG_INF)
+    fin_tokens0 = jnp.zeros((k, max_new_tokens), jnp.int32)
+    seed_eos = is_eos(first_tok)
+    fin_scores0 = jnp.where(seed_eos, scores / (1.0 ** length_penalty),
+                            fin_scores0)
+    fin_tokens0 = jnp.where(seed_eos[:, None], tokens0, fin_tokens0)
+    scores = jnp.where(seed_eos, NEG_INF, scores)
+
+    def advance(state):
+        (step, scores, tokens, cache, fin_scores, fin_tokens) = state
+        emb = qwen2.embed_tokens(
+            lm, tokens[:, step - 1][:, None], cfg.lm).astype(embeds.dtype)
+        hidden, cache = qwen2.decode_step(lm, cfg.lm, emb, cache)
+        logp = jax.nn.log_softmax(
+            qwen2.unembed(lm, cfg.lm, hidden)[:, 0])          # (K, V)
+        v = logp.shape[-1]
+        cand = (scores[:, None] + logp).reshape(-1)           # (K*V,)
+        cand_scores, cand_idx = jax.lax.top_k(cand, 2 * k)
+        cand_beam = cand_idx // v
+        cand_tok = (cand_idx % v).astype(jnp.int32)
+        cand_tokens = jnp.take(tokens, cand_beam, axis=0).at[:, step].set(cand_tok)
+        cand_eos = is_eos(cand_tok)
+
+        # finished pool: merge eos candidates (scored at length step+1)
+        cand_fin = jnp.where(
+            cand_eos, cand_scores / ((step + 1.0) ** length_penalty), NEG_INF)
+        all_fin_scores = jnp.concatenate([fin_scores, cand_fin])
+        all_fin_tokens = jnp.concatenate([fin_tokens, cand_tokens], axis=0)
+        fin_scores, fin_sel = jax.lax.top_k(all_fin_scores, k)
+        fin_tokens = jnp.take(all_fin_tokens, fin_sel, axis=0)
+
+        # running beams: best K non-eos candidates (order-preserving)
+        run_rank = jnp.where(cand_eos, NEG_INF, cand_scores)
+        new_scores, run_sel = jax.lax.top_k(run_rank, k)
+        parent = jnp.take(cand_beam, run_sel)
+        tokens = jnp.take(cand_tokens, run_sel, axis=0)
+        cache = qwen2.KVCache(
+            k=jnp.take(cache.k, parent, axis=1),
+            v=jnp.take(cache.v, parent, axis=1),
+            length=jnp.take(cache.length, parent, axis=0),
+        )
+        return (step + 1, new_scores, tokens, cache, fin_scores, fin_tokens)
+
+    def cond(state):
+        step, scores, _, _, fin_scores, _ = state
+        done = jnp.sum(fin_scores > NEG_INF / 2) >= k  # early_stopping=True
+        return jnp.logical_and(step < max_new_tokens, jnp.logical_not(done))
+
+    state = (jnp.asarray(1), scores, tokens0, cache, fin_scores0, fin_tokens0)
+    step, scores, tokens, _, fin_scores, fin_tokens = jax.lax.while_loop(
+        cond, advance, state)
+
+    # finalize (HF: running beams compete at their current length)
+    run_fin = scores / (step.astype(jnp.float32) ** length_penalty)
+    all_scores = jnp.concatenate([fin_scores, run_fin])
+    all_tokens = jnp.concatenate([fin_tokens, tokens], axis=0)
+    best = jnp.argmax(all_scores)
+    best_tokens = jnp.take(all_tokens, best, axis=0)
+    # sequence length: finished beams end at their eos position + 1
+    eos_hits = jnp.any(best_tokens[:, None] == eos_ids[None, :], axis=-1)
+    has_eos = jnp.any(eos_hits)
+    first_eos = jnp.argmax(eos_hits)
+    n = jnp.where(has_eos, first_eos + 1, step)
+    return best_tokens, n.astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=16)
+def _jit_beam(cfg: VLMConfig, num_beams: int, max_new_tokens: int,
+              length_penalty: float):
+    return jax.jit(
+        functools.partial(_beam_core, num_beams=num_beams,
+                          max_new_tokens=max_new_tokens,
+                          length_penalty=length_penalty),
+        static_argnames=("cfg",),
+    )
+
+
+def beam_search(
+    params,
+    cfg: VLMConfig,
+    inputs_embeds: jax.Array,     # (S, H) single spliced sequence
+    *,
+    num_beams: int = 4,
+    max_new_tokens: int = 128,
+    eos_token_ids: Tuple[int, ...] = (151645,),
+    length_penalty: float = 1.0,
+    pad_to_multiple: int = 128,
+) -> np.ndarray:
+    """Best beam's generated ids (without prompt echo)."""
+    s = inputs_embeds.shape[0]
+    smax = ((s + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple
+    embeds = jnp.pad(inputs_embeds, ((0, smax - s), (0, 0)))[None]
+    fn = _jit_beam(cfg, int(num_beams), int(max_new_tokens),
+                   float(length_penalty))
+    tokens, n = fn(params, cfg, embeds, jnp.asarray([s], jnp.int32),
+                   jnp.asarray(eos_token_ids, jnp.int32))
+    return np.asarray(tokens)[: int(n)]

@@ -1,0 +1,96 @@
+"""Beam-search parity vs HF `generate(num_beams=k, do_sample=False,
+early_stopping=True)` on tiny Qwen2 checkpoints."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from memory_augmented_vlm_tpu.config import LMConfig, VLMConfig
+from memory_augmented_vlm_tpu.checkpoint.hf_import import (
+    convert_qwen2,
+    torch_state_dict_to_numpy,
+)
+from memory_augmented_vlm_tpu.models import beam_search, qwen2
+
+TINY_KW = dict(
+    vocab_size=128,
+    hidden_size=32,
+    intermediate_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=512,
+    rope_theta=10000.0,
+)
+
+
+@pytest.fixture(scope="module", params=[0, 3])
+def tiny(request):
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(request.param)
+    hf_cfg = Qwen2Config(tie_word_embeddings=False,
+                         attn_implementation="eager", **TINY_KW)
+    hf_model = Qwen2ForCausalLM(hf_cfg).eval().float()
+    lm_cfg = LMConfig.from_hf(hf_cfg)
+    sd = torch_state_dict_to_numpy(hf_model.state_dict())
+    params = {"language_model": jax.tree.map(jnp.asarray,
+                                             convert_qwen2(sd, lm_cfg))}
+    return hf_model, VLMConfig(lm=lm_cfg), params
+
+
+def _embeds(params, ids):
+    return qwen2.embed_tokens(params["language_model"],
+                              jnp.asarray(ids, jnp.int32))
+
+
+@pytest.mark.parametrize("num_beams", [2, 3])
+def test_beam_search_matches_hf(tiny, num_beams):
+    hf_model, cfg, params = tiny
+    rng = np.random.default_rng(10 + num_beams)
+    ids = rng.integers(0, cfg.lm.vocab_size, size=(1, 7))
+    eos = 127
+    with torch.no_grad():
+        emb = hf_model.get_input_embeddings()(torch.from_numpy(ids))
+        ref = hf_model.generate(
+            inputs_embeds=emb, max_new_tokens=10, do_sample=False,
+            num_beams=num_beams, early_stopping=True, length_penalty=1.0,
+            eos_token_id=eos, pad_token_id=0,
+        ).numpy()[0]
+    # HF pads the returned row; trim after the first eos (or keep all)
+    if (ref == eos).any():
+        ref = ref[: int(np.argmax(ref == eos)) + 1]
+    got = beam_search.beam_search(
+        params, cfg, _embeds(params, ids[0]), num_beams=num_beams,
+        max_new_tokens=10, eos_token_ids=(eos,), pad_to_multiple=8)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_beam1_equals_greedy(tiny):
+    from memory_augmented_vlm_tpu.models import vlm
+
+    _, cfg, params = tiny
+    rng = np.random.default_rng(20)
+    ids = rng.integers(0, cfg.lm.vocab_size, size=(6,))
+    greedy = vlm.generate(params, cfg, _embeds(params, ids),
+                          max_new_tokens=8, eos_token_ids=(127,),
+                          pad_to_multiple=8)
+    want = np.asarray(greedy.tokens)[: int(greedy.num_tokens)]
+    got = beam_search.beam_search(params, cfg, _embeds(params, ids),
+                                  num_beams=1, max_new_tokens=8,
+                                  eos_token_ids=(127,), pad_to_multiple=8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_model_shell_routes_num_beams(tiny):
+    from memory_augmented_vlm_tpu.eval.model import MavlmForCausalLM
+
+    _, cfg, params = tiny
+    model = MavlmForCausalLM(params, cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(30)
+    ids = rng.integers(0, cfg.lm.vocab_size, size=(1, 5)).astype(np.int64)
+    out = model.generate(ids, num_beams=2, max_new_tokens=6, eos_token_id=127)
+    assert out.shape[0] == 1 and out.shape[1] >= 1
