@@ -1,0 +1,464 @@
+"""Tiled flash-attention BACKWARD for TPU — the training-path replacement
+for the in-tree differentiable kernel (measured 610-660 ms/layer-call at the
+flagship 9.7k prefill shape; see PERFORMANCE.md).
+
+FlashAttention-2-style backward over saved (q, k, v, out, lse):
+
+  D    = rowsum(dO * O)                                   (XLA, cheap)
+  dq   : grid (b, h, iq, jk) — accumulate ds @ k per q block
+  dk/dv: grid (b, h, jk, iq) — accumulate ds^T @ q and p^T @ dO per kv block
+  with p = exp(s - lse) recomputed per tile (no (S, S) materialization),
+  causal block skipping on both grids and prefix valid-length masking
+  identical to the forward kernel (ops/pallas_flash.py).
+
+The public wrapper `flash_attention_train` is a custom_vjp whose forward is
+the tuned inference kernel extended to emit LSE; gradients match the XLA
+reference attention at fp32 tolerance (tests/test_flash_bwd.py) and on-chip
+(dq/dk/dv max err 5e-4/5e-4/3e-3 vs fp32 XLA at S=512).
+
+STATUS: correct but currently NOT wired into the LM training path — the
+flagship train step measured 5.22 s/step with this kernel vs 4.38 s with
+the in-tree differentiable kernel (whose double-buffered pipelining wins at
+the 9.7k shape); `ops.attention.flash_attention(differentiable=True)` keeps
+the in-tree kernel. This module remains the basis for round-3 pipelining
+work and for cross-attention training shapes the in-tree kernel's
+SegmentIds path cannot express.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from memory_augmented_vlm_tpu.ops.pallas_flash import MASK_VALUE, NUM_LANES
+
+# ---------------------------------------------------------------------------
+# Forward with LSE output (same math as ops/pallas_flash._flash_fwd_kernel)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_lse_kernel(
+    valid_len_ref,
+    q_ref, k_ref, v_ref,
+    o_ref, lse_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, causal: bool, sm_scale: float, block_q: int, block_k: int,
+    num_kv_blocks: int,
+):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ikv = pl.program_id(3)
+
+    @pl.when(ikv == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    valid_len = valid_len_ref[b]
+    if causal:
+        should_run = ((iq + 1) * block_q - 1) >= (ikv * block_k)
+    else:
+        should_run = True
+    should_run = jnp.logical_and(should_run, ikv * block_k < valid_len)
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if sm_scale != 1.0:
+            s *= sm_scale
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_k
+        mask = col_ids < valid_len
+        if causal:
+            mask = jnp.logical_and(mask, col_ids <= row_ids)
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_scratch[...]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1)[:, None]
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_curr = jnp.sum(p, axis=1)[:, None]
+        l_next = alpha * l_prev + l_curr
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+        v = v_ref[0, 0]
+        o_curr = jax.lax.dot(p.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + o_curr
+
+    if causal:
+        last_needed = jnp.minimum(
+            num_kv_blocks - 1, ((iq + 1) * block_q - 1) // block_k)
+    else:
+        last_needed = num_kv_blocks - 1
+    last_valid = jnp.maximum((valid_len + block_k - 1) // block_k - 1, 0)
+    last_needed = jnp.minimum(last_needed, last_valid)
+
+    @pl.when(ikv == last_needed)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        lse = m_scratch[...] + jnp.log(jnp.maximum(l_scratch[...], 1e-30))
+        lse_ref[0, 0] = lse[:, :NUM_LANES]
+
+
+# ---------------------------------------------------------------------------
+# dq kernel: q-major grid, accumulate over kv blocks
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(
+    valid_len_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_scratch,
+    *, causal: bool, sm_scale: float, block_q: int, block_k: int,
+    num_kv_blocks: int,
+):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ikv = pl.program_id(3)
+
+    @pl.when(ikv == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros(dq_scratch.shape, jnp.float32)
+
+    valid_len = valid_len_ref[b]
+    if causal:
+        should_run = ((iq + 1) * block_q - 1) >= (ikv * block_k)
+    else:
+        should_run = True
+    should_run = jnp.logical_and(should_run, ikv * block_k < valid_len)
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, :1]      # (BQ, 1) fp32
+        delta = delta_ref[0, 0][:, :1]  # (BQ, 1) fp32
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if sm_scale != 1.0:
+            s *= sm_scale
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_k
+        mask = col_ids < valid_len
+        if causal:
+            mask = jnp.logical_and(mask, col_ids <= row_ids)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)             # (BQ, BK)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * sm_scale
+        dq_scratch[...] += jax.lax.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
+
+    if causal:
+        last_needed = jnp.minimum(
+            num_kv_blocks - 1, ((iq + 1) * block_q - 1) // block_k)
+    else:
+        last_needed = num_kv_blocks - 1
+    last_valid = jnp.maximum((valid_len + block_k - 1) // block_k - 1, 0)
+    last_needed = jnp.minimum(last_needed, last_valid)
+
+    @pl.when(ikv == last_needed)
+    def _store():
+        dq_ref[0, 0] = dq_scratch[...].astype(dq_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# dk/dv kernel: kv-major grid, accumulate over q blocks
+# ---------------------------------------------------------------------------
+
+
+def _dkv_kernel(
+    valid_len_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scratch, dv_scratch,
+    *, causal: bool, sm_scale: float, block_q: int, block_k: int,
+    num_q_blocks: int,
+):
+    b = pl.program_id(0)
+    jk = pl.program_id(2)
+    iq = pl.program_id(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros(dk_scratch.shape, jnp.float32)
+        dv_scratch[...] = jnp.zeros(dv_scratch.shape, jnp.float32)
+
+    valid_len = valid_len_ref[b]
+    if causal:
+        # q blocks strictly above the diagonal contribute nothing to this kv
+        should_run = ((iq + 1) * block_q - 1) >= (jk * block_k)
+    else:
+        should_run = True
+    should_run = jnp.logical_and(should_run, jk * block_k < valid_len)
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, :1]
+        delta = delta_ref[0, 0][:, :1]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if sm_scale != 1.0:
+            s *= sm_scale
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jk * block_k
+        mask = col_ids < valid_len
+        if causal:
+            mask = jnp.logical_and(mask, col_ids <= row_ids)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)              # (BQ, BK)
+        # dv += p^T @ do
+        dv_scratch[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * sm_scale
+        # dk += ds^T @ q
+        dk_scratch[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(iq == num_q_blocks - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host-side assembly
+# ---------------------------------------------------------------------------
+
+
+def _pad_qkv(q, k, v, block_q, block_k):
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    sq_pad = ((sq + block_q - 1) // block_q) * block_q
+    skv_pad = ((skv + block_k - 1) // block_k) * block_k
+    if sq_pad != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0), (0, 0)))
+    if skv_pad != skv:
+        pad = ((0, 0), (0, skv_pad - skv), (0, 0), (0, 0))
+        k, v = jnp.pad(k, pad), jnp.pad(v, pad)
+    return q, k, v, sq_pad, skv_pad
+
+
+def _forward_with_lse(q, k, v, kv_valid_len, causal, scale, block_q, block_k,
+                      interpret):
+    b, sq, h, d = q.shape
+    q, k, v, sq_pad, skv_pad = _pad_qkv(q, k, v, block_q, block_k)
+    qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    nq, nkv = sq_pad // block_q, skv_pad // block_k
+    kernel = functools.partial(
+        _fwd_lse_kernel, causal=causal, sm_scale=scale, block_q=block_q,
+        block_k=block_k, num_kv_blocks=nkv)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h, nq, nkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ikv, vl: (b, h, ikv, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ikv, vl: (b, h, ikv, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+                         lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(qt.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_pad, NUM_LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_valid_len, qt, kt, vt)
+    out = out.transpose(0, 2, 1, 3)[:, :sq]
+    return out, lse  # lse stays (B, H, Sq_pad, LANES), lane-replicated
+
+
+def _backward(q, k, v, out, lse, g, kv_valid_len, causal, scale, block_q,
+              block_k, interpret):
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    q_p, k_p, v_p, sq_pad, skv_pad = _pad_qkv(q, k, v, block_q, block_k)
+    g_p = jnp.pad(g, ((0, 0), (0, sq_pad - sq), (0, 0), (0, 0))) \
+        if sq_pad != sq else g
+    out_p = jnp.pad(out, ((0, 0), (0, sq_pad - sq), (0, 0), (0, 0))) \
+        if sq_pad != sq else out
+    qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q_p, k_p, v_p))
+    dot = g_p.transpose(0, 2, 1, 3)
+    ot = out_p.transpose(0, 2, 1, 3)
+    # D = rowsum(dO * O), lane-replicated to match the lse layout
+    delta = jnp.sum(dot.astype(jnp.float32) * ot.astype(jnp.float32),
+                    axis=-1)                                    # (B, H, Sq)
+    delta = jnp.broadcast_to(delta[..., None],
+                             delta.shape + (NUM_LANES,))
+    nq, nkv = sq_pad // block_q, skv_pad // block_k
+
+    dq_kernel = functools.partial(
+        _dq_kernel, causal=causal, sm_scale=scale, block_q=block_q,
+        block_k=block_k, num_kv_blocks=nkv)
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h, nq, nkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ikv, vl: (b, h, ikv, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ikv, vl: (b, h, ikv, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+                         lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+                         lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid_spec=dq_spec,
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_valid_len, qt, kt, vt, dot, lse, delta)
+
+    dkv_kernel = functools.partial(
+        _dkv_kernel, causal=causal, sm_scale=scale, block_q=block_q,
+        block_k=block_k, num_q_blocks=nq)
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h, nkv, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, jk, iq, vl: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, jk, iq, vl: (b, h, jk, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, jk, iq, vl: (b, h, jk, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, jk, iq, vl: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+                         lambda b, h, jk, iq, vl: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES),
+                         lambda b, h, jk, iq, vl: (b, h, iq, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, jk, iq, vl: (b, h, jk, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, jk, iq, vl: (b, h, jk, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid_spec=dkv_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(kt.shape, k.dtype),
+            jax.ShapeDtypeStruct(vt.shape, v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_valid_len, qt, kt, vt, dot, lse, delta)
+
+    dq = dq.transpose(0, 2, 1, 3)[:, :sq]
+    dk = dk.transpose(0, 2, 1, 3)[:, :skv]
+    dv = dv.transpose(0, 2, 1, 3)[:, :skv]
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Public custom-vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_train(static, q, k, v, kv_valid_len):
+    causal, scale, block_q, block_k, interpret = static
+    out, _ = _forward_with_lse(q, k, v, kv_valid_len, causal, scale,
+                               block_q, block_k, interpret)
+    return out
+
+
+def _flash_train_fwd(static, q, k, v, kv_valid_len):
+    causal, scale, block_q, block_k, interpret = static
+    out, lse = _forward_with_lse(q, k, v, kv_valid_len, causal, scale,
+                                 block_q, block_k, interpret)
+    return out, (q, k, v, out, lse, kv_valid_len)
+
+
+def _flash_train_bwd(static, res, g):
+    causal, scale, block_q, block_k, interpret = static
+    q, k, v, out, lse, kv_valid_len = res
+    dq, dk, dv = _backward(q, k, v, out, lse, g, kv_valid_len, causal, scale,
+                           block_q, block_k, interpret)
+    return dq, dk, dv, np.zeros(kv_valid_len.shape, jax.dtypes.float0)
+
+
+_flash_train.defvjp(_flash_train_fwd, _flash_train_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "scale", "block_q", "block_k",
+                              "interpret"))
+def flash_attention_train(
+    q: jax.Array,  # (B, S, H, D)
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    kv_valid_len: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable flash attention with a tiled Pallas backward.
+
+    Same contract as `pallas_flash_attention` (cross-attention allowed when
+    causal=False; right-padded prefix masking via kv_valid_len)."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    if causal and sq != skv:
+        raise ValueError("causal flash attention requires equal q/kv lengths")
+    scale = scale if scale is not None else d**-0.5
+    if kv_valid_len is None:
+        kv_valid_len = jnp.full((b,), skv, jnp.int32)
+    kv_valid_len = kv_valid_len.astype(jnp.int32)
+    return _flash_train((causal, scale, block_q, block_k, interpret),
+                        q, k, v, kv_valid_len)
