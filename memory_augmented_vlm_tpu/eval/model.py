@@ -157,6 +157,12 @@ class MavlmForCausalLM:
             if do_sample:
                 raise NotImplementedError("beam sampling is not supported; "
                                           "use do_sample OR num_beams")
+            if stop_sequences or repetition_penalty != 1.0:
+                # HF applies these inside beam search; silently dropping
+                # them would change benchmark answers
+                raise NotImplementedError(
+                    "stop_sequences / repetition_penalty are not supported "
+                    "with num_beams>1 yet")
             rows_out = [
                 beam_search.beam_search(
                     self.params, self.cfg, e, num_beams=num_beams,

@@ -33,10 +33,6 @@ from memory_augmented_vlm_tpu.models import qwen2
 NEG_INF = -1.0e9
 
 
-def _gather_beams(tree, idx):
-    return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), tree)
-
-
 def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
                *, num_beams: int, max_new_tokens: int, length_penalty: float):
     """embeds (1, Smax, H) right-padded. Returns (tokens (max_new,), n)."""
@@ -51,26 +47,35 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
     logits0 = qwen2.unembed(lm, cfg.lm, last)[0, 0]          # (V,)
     logp0 = jax.nn.log_softmax(logits0)
 
-    # seed K beams from the prefill distribution
-    scores, first_tok = jax.lax.top_k(logp0, k)              # (K,)
+    def is_eos(tok):
+        return jnp.any(tok[..., None] == eos_ids[None, :], axis=-1)
+
+    # seed from the top-2K of the prefill distribution with HF's split rule:
+    # eos candidates among the first K ranks go to the hypothesis pool, the
+    # best K non-eos candidates become the running beams (BeamSearchScorer
+    # .process applied to a first step where all beams share one history)
+    cand_scores0, cand_tok0 = jax.lax.top_k(logp0, 2 * k)
+    cand_eos0 = is_eos(cand_tok0)
+    rank_lt_k0 = jnp.arange(2 * k) < k
+    fin_scores0 = jnp.full((k,), NEG_INF)
+    fin_tokens0 = jnp.zeros((k, max_new_tokens), jnp.int32)
+    pool_cand0 = jnp.where(cand_eos0 & rank_lt_k0,
+                           cand_scores0 / (1.0 ** length_penalty), NEG_INF)
+    fin_scores0, fin_sel0 = jax.lax.top_k(
+        jnp.concatenate([fin_scores0, pool_cand0]), k)
+    fin_tokens_all0 = jnp.concatenate(
+        [fin_tokens0,
+         jnp.zeros((2 * k, max_new_tokens), jnp.int32).at[:, 0].set(cand_tok0)])
+    fin_tokens0 = jnp.take(fin_tokens_all0, fin_sel0, axis=0)
+    run_rank0 = jnp.where(cand_eos0, NEG_INF, cand_scores0)
+    scores, run_sel0 = jax.lax.top_k(run_rank0, k)
+    first_tok = jnp.take(cand_tok0, run_sel0)
     cache = qwen2.KVCache(
         k=jnp.repeat(cache0.k, k, axis=1),
         v=jnp.repeat(cache0.v, k, axis=1),
         length=jnp.repeat(cache0.length, k, axis=0),
     )
     tokens0 = jnp.zeros((k, max_new_tokens), jnp.int32).at[:, 0].set(first_tok)
-
-    def is_eos(tok):
-        return jnp.any(tok[..., None] == eos_ids[None, :], axis=-1)
-
-    # first-step eos handling: an immediately-finished beam
-    fin_scores0 = jnp.full((k,), NEG_INF)
-    fin_tokens0 = jnp.zeros((k, max_new_tokens), jnp.int32)
-    seed_eos = is_eos(first_tok)
-    fin_scores0 = jnp.where(seed_eos, scores / (1.0 ** length_penalty),
-                            fin_scores0)
-    fin_tokens0 = jnp.where(seed_eos[:, None], tokens0, fin_tokens0)
-    scores = jnp.where(seed_eos, NEG_INF, scores)
 
     def advance(state):
         (step, scores, tokens, cache, fin_scores, fin_tokens) = state
@@ -87,9 +92,13 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
         cand_tokens = jnp.take(tokens, cand_beam, axis=0).at[:, step].set(cand_tok)
         cand_eos = is_eos(cand_tok)
 
-        # finished pool: merge eos candidates (scored at length step+1)
+        # finished pool: merge eos candidates among the FIRST K ranks (HF
+        # BeamSearchScorer.process skips eos with beam_token_rank >= K),
+        # scored at length step+1
+        rank_lt_k = jnp.arange(2 * k) < k
         cand_fin = jnp.where(
-            cand_eos, cand_scores / ((step + 1.0) ** length_penalty), NEG_INF)
+            cand_eos & rank_lt_k,
+            cand_scores / ((step + 1.0) ** length_penalty), NEG_INF)
         all_fin_scores = jnp.concatenate([fin_scores, cand_fin])
         all_fin_tokens = jnp.concatenate([fin_tokens, cand_tokens], axis=0)
         fin_scores, fin_sel = jax.lax.top_k(all_fin_scores, k)
@@ -116,8 +125,13 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
     step, scores, tokens, _, fin_scores, fin_tokens = jax.lax.while_loop(
         cond, advance, state)
 
-    # finalize (HF: running beams compete at their current length)
-    run_fin = scores / (step.astype(jnp.float32) ** length_penalty)
+    # finalize: HF's finalize adds running beams ONLY when the search was
+    # not early-stopped (pool not yet full); after an early stop the pool
+    # alone competes
+    pool_full = jnp.sum(fin_scores > NEG_INF / 2) >= k
+    run_fin = jnp.where(
+        pool_full, NEG_INF,
+        scores / (step.astype(jnp.float32) ** length_penalty))
     all_scores = jnp.concatenate([fin_scores, run_fin])
     all_tokens = jnp.concatenate([fin_tokens, tokens], axis=0)
     best = jnp.argmax(all_scores)

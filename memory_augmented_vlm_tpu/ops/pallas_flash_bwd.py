@@ -457,6 +457,10 @@ def flash_attention_train(
     if causal and sq != skv:
         raise ValueError("causal flash attention requires equal q/kv lengths")
     scale = scale if scale is not None else d**-0.5
+    # clamp blocks to the (128-rounded) sequence lengths like the inference
+    # wrapper, so short sequences don't pad to full default blocks
+    block_q = min(block_q, max(((sq + 127) // 128) * 128, 128))
+    block_k = min(block_k, max(((skv + 127) // 128) * 128, 128))
     if kv_valid_len is None:
         kv_valid_len = jnp.full((b,), skv, jnp.int32)
     kv_valid_len = kv_valid_len.astype(jnp.int32)

@@ -20,7 +20,8 @@ def main(argv=None):
     p.add_argument("--lora-path", required=True,
                    help="npz of flattened LoRA factors (tree paths as keys)")
     p.add_argument("--out", required=True)
-    p.add_argument("--r", type=int, default=8)
+    p.add_argument("--r", type=int, default=None,
+                   help="LoRA rank (default: inferred from the factors)")
     p.add_argument("--alpha", type=int, default=16)
     args = p.parse_args(argv)
 
@@ -33,9 +34,17 @@ def main(argv=None):
 
     _, model, _, _ = load_pretrained_model(args.model_path, None, "llava_qwen",
                                            torch_dtype="float32")
-    cfg = lora_mod.LoraConfig(r=args.r, alpha=args.alpha)
-
     flat = dict(np.load(args.lora_path))
+    # the rank is recoverable from the A-factor shapes; a mismatching --r
+    # would silently mis-scale every merged delta (scale = alpha / r)
+    ranks = {int(v.shape[-1]) for key, v in flat.items() if key.endswith(".a")}
+    if len(ranks) != 1:
+        raise ValueError(f"inconsistent LoRA ranks in {args.lora_path}: {ranks}")
+    inferred_r = ranks.pop()
+    if args.r is not None and args.r != inferred_r:
+        raise ValueError(f"--r {args.r} conflicts with the factors' rank "
+                         f"{inferred_r}")
+    cfg = lora_mod.LoraConfig(r=inferred_r, alpha=args.alpha)
 
     def rebuild(path, leaf):
         key = path_str(path)

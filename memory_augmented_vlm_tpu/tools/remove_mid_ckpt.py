@@ -29,6 +29,8 @@ def remove_mid_checkpoints(run_dir: str, keep: int = 1,
                            dry_run: bool = False) -> list:
     """Remove all but the `keep` highest-step checkpoints; returns the
     removed paths."""
+    if keep < 0:
+        raise ValueError(f"keep must be >= 0, got {keep}")
     ckpts = find_checkpoints(run_dir)
     doomed = ckpts[:-keep] if keep > 0 else ckpts
     removed = []
@@ -42,7 +44,13 @@ def remove_mid_checkpoints(run_dir: str, keep: int = 1,
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("run_dir")
-    p.add_argument("--keep", type=int, default=1)
+    def _nonneg(v):
+        iv = int(v)
+        if iv < 0:
+            raise argparse.ArgumentTypeError("--keep must be >= 0")
+        return iv
+
+    p.add_argument("--keep", type=_nonneg, default=1)
     p.add_argument("--dry-run", action="store_true")
     args = p.parse_args(argv)
     removed = remove_mid_checkpoints(args.run_dir, args.keep, args.dry_run)

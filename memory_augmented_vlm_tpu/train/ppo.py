@@ -43,7 +43,8 @@ class PPOConfig:
     cliprange: float = 0.2
     cliprange_value: float = 0.2
     vf_coef: float = 0.1
-    kl_penalty: str = "kl"        # kl | abs | mse
+    kl_penalty: str = "kl"        # kl | abs | mse ("full" needs (B,T,V)
+                                  # distributions — direct kl_penalty() use)
     init_kl_coef: float = 0.2
     adap_kl_ctrl: bool = True
     target: float = 6.0
@@ -163,6 +164,12 @@ def kl_penalty(logprob, ref_logprob, kind: str = "kl"):
 def compute_rewards(scores, logprobs, ref_logprobs, masks, kl_coef: float,
                     kind: str = "kl"):
     """scores (B,), logprobs/ref/masks (B, T) -> (rewards, non_score, kls)."""
+    if kind == "full":
+        raise ValueError(
+            "kl_penalty='full' needs per-token (B, T, V) log-distributions; "
+            "the PPOBatch rollout stores realized-token logprobs only — use "
+            "kl/abs/mse here, or call kl_penalty(..., 'full') directly on "
+            "full distributions")
     kls = kl_penalty(logprobs, ref_logprobs, kind)
     non_score = -kl_coef * kls
     t = masks.shape[1]

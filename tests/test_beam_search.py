@@ -94,3 +94,53 @@ def test_model_shell_routes_num_beams(tiny):
     ids = rng.integers(0, cfg.lm.vocab_size, size=(1, 5)).astype(np.int64)
     out = model.generate(ids, num_beams=2, max_new_tokens=6, eos_token_id=127)
     assert out.shape[0] == 1 and out.shape[1] >= 1
+
+
+@pytest.mark.parametrize("num_beams", [2, 3])
+def test_beam_search_eos_in_seed_matches_hf(tiny, num_beams):
+    """Force the first-step top-1 token to be eos: HF moves it to the
+    hypothesis pool and runs beams from the next-ranked tokens."""
+    hf_model, cfg, params = tiny
+    rng = np.random.default_rng(40 + num_beams)
+    ids = rng.integers(0, cfg.lm.vocab_size, size=(1, 6))
+    # the model's own greedy first token becomes the eos id
+    from memory_augmented_vlm_tpu.models import vlm
+
+    probe = vlm.generate(params, cfg, _embeds(params, ids[0]),
+                         max_new_tokens=1, eos_token_ids=(10 ** 6,),
+                         pad_to_multiple=8)
+    eos = int(np.asarray(probe.tokens)[0])
+    with torch.no_grad():
+        emb = hf_model.get_input_embeddings()(torch.from_numpy(ids))
+        ref = hf_model.generate(
+            inputs_embeds=emb, max_new_tokens=8, do_sample=False,
+            num_beams=num_beams, early_stopping=True, length_penalty=1.0,
+            eos_token_id=eos, pad_token_id=0,
+        ).numpy()[0]
+    if (ref == eos).any():
+        ref = ref[: int(np.argmax(ref == eos)) + 1]
+    got = beam_search.beam_search(
+        params, cfg, _embeds(params, ids[0]), num_beams=num_beams,
+        max_new_tokens=8, eos_token_ids=(eos,), pad_to_multiple=8)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_beam_search_length_penalty_variants(tiny):
+    hf_model, cfg, params = tiny
+    rng = np.random.default_rng(50)
+    ids = rng.integers(0, cfg.lm.vocab_size, size=(1, 6))
+    for lp in (0.5, 2.0):
+        with torch.no_grad():
+            emb = hf_model.get_input_embeddings()(torch.from_numpy(ids))
+            ref = hf_model.generate(
+                inputs_embeds=emb, max_new_tokens=8, do_sample=False,
+                num_beams=2, early_stopping=True, length_penalty=lp,
+                eos_token_id=127, pad_token_id=0,
+            ).numpy()[0]
+        if (ref == 127).any():
+            ref = ref[: int(np.argmax(ref == 127)) + 1]
+        got = beam_search.beam_search(
+            params, cfg, _embeds(params, ids[0]), num_beams=2,
+            max_new_tokens=8, eos_token_ids=(127,), length_penalty=lp,
+            pad_to_multiple=8)
+        np.testing.assert_array_equal(got, ref, err_msg=f"lp={lp}")
