@@ -7,7 +7,7 @@ and keyword-based stopping for host-side decode loops.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -19,9 +19,8 @@ n = (t-1)//32, else 1 fps.
 
 from __future__ import annotations
 
-import math
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

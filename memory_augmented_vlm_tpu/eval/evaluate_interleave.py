@@ -14,7 +14,7 @@ import argparse
 import json
 import re
 from collections import defaultdict
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 CATEGORIES: Dict[str, List[str]] = {
     "spot_the_diff": ["Spot-the-Diff", "Birds-to-Words", "CLEVR-Change"],

@@ -183,8 +183,6 @@ class MavlmTpu(_LmmsBase):
               modality: str = "video") -> Tuple[float, bool]:
         """(sum log p(continuation | context, visuals), is_greedy) — the
         lmms-eval `loglikelihood` contract for one request."""
-        import jax.numpy as jnp
-
         from memory_augmented_vlm_tpu.models import vlm as vlm_mod
 
         pixels = self._prep_pixels(visuals, modality)

@@ -10,7 +10,7 @@ torch tensors for ids/images (lmms-eval passes torch CPU tensors).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 import jax

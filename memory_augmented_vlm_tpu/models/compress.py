@@ -13,7 +13,7 @@ data-dependent shapes — a poor fit for jit, a fine fit for the host).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -23,9 +23,8 @@ one interface.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple
 
-import jax
 
 from memory_augmented_vlm_tpu.config import VisionConfig
 from memory_augmented_vlm_tpu.models import clip as clip_mod

@@ -20,7 +20,6 @@ module is dormant on the active video path, multimodal_resampler/builder.py:31).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,9 +19,7 @@ import argparse
 import base64
 import io
 import json
-import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from http.server import ThreadingHTTPServer
 
 import numpy as np
 

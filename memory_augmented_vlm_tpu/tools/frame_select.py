@@ -11,7 +11,6 @@ half recursively up to `all_depth`, halving the per-segment budget per level.
 from __future__ import annotations
 
 import heapq
-import json
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np

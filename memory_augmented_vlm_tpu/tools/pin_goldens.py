@@ -46,7 +46,6 @@ def compute_goldens(model_path: str, num_frames: int = 64, seed: int = 0) -> dic
     from memory_augmented_vlm_tpu.eval.builder import load_pretrained_model
     from memory_augmented_vlm_tpu.models import memory as memory_mod
     from memory_augmented_vlm_tpu.models import qwen2, vlm
-    from memory_augmented_vlm_tpu.ops.pooling import spatial_pool_2x2
 
     tokenizer, model, image_processor, context_len = load_pretrained_model(
         model_path, None, "llava_qwen")

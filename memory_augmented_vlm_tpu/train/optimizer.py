@@ -21,7 +21,7 @@ Semantics replicated:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import optax

@@ -21,7 +21,7 @@ tests/test_ppo_sft.py (fp32, rtol 1e-5).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 import jax

@@ -18,7 +18,7 @@ Replaces the reference's HF Trainer + DeepSpeed ZeRO-2 + NCCL stack
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import numpy as np
 import jax
