@@ -155,3 +155,27 @@ def test_padding_invariance_of_generate(tiny_vlm):
     b = vlm.generate(params, TINY, embeds, max_new_tokens=4,
                      eos_token_ids=(49999,), pad_to_multiple=256)
     np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+
+def test_faster_video_stream_token_accounting():
+    """add_faster_video capability (llava_arch.py:201-206,590-601): slow
+    frames keep the full pooled grid, non-stride frames use the 2x-coarser
+    pool, every frame row ends with the learnable faster token."""
+    params = vlm.init_params(TINY, jax.random.key(0))
+    side = TINY.vision.num_patches_per_side
+    h = TINY.lm.hidden_size
+    f = 6
+    feats = jnp.asarray(
+        np.random.default_rng(0).standard_normal((f, side * side, h)),
+        jnp.float32)
+    faster_token = jnp.zeros((h,), jnp.float32)
+    out = vlm.build_faster_video_embeds(params, TINY, feats, faster_token,
+                                        faster_token_stride=3)
+    stride = TINY.pipeline.mm_spatial_pool_stride
+    slow_tokens = (-(-side // stride)) ** 2
+    fast_tokens = (-(-side // (stride * 2))) ** 2
+    expected = 0
+    for i in range(f):
+        expected += (slow_tokens if i % 3 == 0 else fast_tokens) + 1
+    assert out.shape == (expected, h)
+    assert np.isfinite(np.asarray(out)).all()
