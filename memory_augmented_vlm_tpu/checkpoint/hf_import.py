@@ -66,8 +66,17 @@ def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
         with safe_open(os.path.join(path, fname), framework="np") as f:
             for key in f.keys():
                 arr = f.get_tensor(key)
-                if arr.dtype.kind not in "fiu":  # bfloat16 comes out as void via np
-                    raise ValueError(f"unhandled dtype for {key}: {arr.dtype}")
+                if arr.dtype.kind not in "fiu":
+                    # bfloat16 surfaces as a 2-byte void dtype through the
+                    # numpy framework — reinterpret and upcast (the real
+                    # flagship checkpoints are published in bf16)
+                    if arr.dtype.itemsize == 2:
+                        import ml_dtypes
+
+                        arr = arr.view(ml_dtypes.bfloat16).astype(np.float32)
+                    else:
+                        raise ValueError(
+                            f"unhandled dtype for {key}: {arr.dtype}")
                 tensors[key] = arr
     return tensors
 

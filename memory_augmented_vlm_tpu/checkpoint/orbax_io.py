@@ -73,6 +73,19 @@ def export_hf_safetensors(params: Any, cfg, out_dir: str) -> str:
 
     os.makedirs(out_dir, exist_ok=True)
     flat = {}
+
+    def _kernel(entry):
+        """Full-precision view of a (possibly prequantized) kernel entry."""
+        if "kernel" in entry:
+            return entry["kernel"]
+        from memory_augmented_vlm_tpu.ops.quant import unpack_int4
+
+        if "kernel_int8" in entry:
+            w = entry["kernel_int8"].astype(np.float32)
+        else:
+            w = np.asarray(unpack_int4(entry["kernel_int4"]), np.float32)
+        return w * np.expand_dims(np.asarray(entry["scale"], np.float32), -2)
+
     lm = jax.tree.map(np.asarray, params["language_model"])
     flat["model.embed_tokens.weight"] = lm["embed_tokens"]
     flat["model.norm.weight"] = lm["norm"]
@@ -85,11 +98,13 @@ def export_hf_safetensors(params: Any, cfg, out_dir: str) -> str:
         flat[p + "input_layernorm.weight"] = lyr["input_layernorm"][i]
         flat[p + "post_attention_layernorm.weight"] = lyr["post_attention_layernorm"][i]
         for name in ("q_proj", "k_proj", "v_proj"):
-            flat[p + f"self_attn.{name}.weight"] = lyr[name]["kernel"][i].T
-            flat[p + f"self_attn.{name}.bias"] = lyr[name]["bias"][i]
-        flat[p + "self_attn.o_proj.weight"] = lyr["o_proj"]["kernel"][i].T
+            flat[p + f"self_attn.{name}.weight"] = _kernel(lyr[name])[i].T
+            if "bias" in lyr[name]:  # bias-free families (Llama/Mixtral/MPT)
+                flat[p + f"self_attn.{name}.bias"] = lyr[name]["bias"][i]
+        flat[p + "self_attn.o_proj.weight"] = _kernel(lyr["o_proj"])[i].T
         for name in ("gate_proj", "up_proj", "down_proj"):
-            flat[p + f"mlp.{name}.weight"] = lyr[name]["kernel"][i].T
+            if name in lyr:  # MPT has no gate; MoE families carry experts
+                flat[p + f"mlp.{name}.weight"] = _kernel(lyr[name])[i].T
 
     vt = jax.tree.map(np.asarray, params["vision_tower"])
     vp = "model.vision_tower.vision_tower.vision_model."
@@ -110,7 +125,7 @@ def export_hf_safetensors(params: Any, cfg, out_dir: str) -> str:
         for name, tgt in (("q_proj", "self_attn.q_proj"), ("k_proj", "self_attn.k_proj"),
                           ("v_proj", "self_attn.v_proj"), ("out_proj", "self_attn.out_proj"),
                           ("fc1", "mlp.fc1"), ("fc2", "mlp.fc2")):
-            flat[p + f"{tgt}.weight"] = lyr[name]["kernel"][i].T
+            flat[p + f"{tgt}.weight"] = _kernel(lyr[name])[i].T
             flat[p + f"{tgt}.bias"] = lyr[name]["bias"][i]
 
     proj = jax.tree.map(np.asarray, params["mm_projector"])

@@ -204,6 +204,13 @@ class LazySupervisedDataset:
                 force_sample=self.pipeline.force_sample,
             )
             pixels = self.image_processor.preprocess(frames)
+            if convs and constants.DEFAULT_IMAGE_TOKEN not in convs[0].get(
+                    "value", ""):
+                # a media sample without the sentinel would crash the video
+                # collator (np.where(...)[0][0]); prepend like the serving
+                # and adapter paths do for raw questions
+                convs[0]["value"] = (constants.DEFAULT_IMAGE_TOKEN + "\n"
+                                     + convs[0].get("value", ""))
             if self.pipeline.add_time_instruction and convs:
                 instr = (
                     f"The video lasts for {video_time:.2f} seconds, and "
@@ -226,6 +233,10 @@ class LazySupervisedDataset:
             out["pixels"] = self.image_processor.preprocess(img)
             out["image_size"] = img.size
             out["modality"] = "image"
+            if convs and constants.DEFAULT_IMAGE_TOKEN not in convs[0].get(
+                    "value", ""):
+                convs[0]["value"] = (constants.DEFAULT_IMAGE_TOKEN + "\n"
+                                     + convs[0].get("value", ""))
         else:
             out["modality"] = "text"
 

@@ -41,12 +41,22 @@ class DPODataset(LazySupervisedDataset):
         item = self.items[i]
         base = dict(item)
         base["conversations"] = self._conversations_for(item, "chosen")
+        orig_first = (base["conversations"][0].get("value", "")
+                      if base["conversations"] else "")
         self.items[i] = base
         out = super()._get_item(i)
         self.items[i] = item  # restore
 
-        rejected = self.preprocess_fn(self._conversations_for(item, "rejected"),
-                                      self.tokenizer)
+        rej_convs = self._conversations_for(item, "rejected")
+        # _get_item may rewrite the chosen prompt in place (the video
+        # add_time_instruction); the rejected side must see the SAME prompt
+        # or the DPO logratio compares responses to different contexts
+        new_first = (base["conversations"][0].get("value", "")
+                     if base["conversations"] else "")
+        if (new_first != orig_first and rej_convs
+                and rej_convs[0].get("value", "") == orig_first):
+            rej_convs[0]["value"] = new_first
+        rejected = self.preprocess_fn(rej_convs, self.tokenizer)
         out["chosen_input_ids"] = out.pop("input_ids")
         out["chosen_labels"] = out.pop("labels")
         out["rejected_input_ids"] = rejected["input_ids"]

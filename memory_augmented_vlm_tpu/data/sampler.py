@@ -59,8 +59,11 @@ def get_modality_length_grouped_indices(lengths: Sequence[int], batch_size: int,
     whole megabatches together (last, shortest megabatch goes last)."""
     g = generator or np.random.default_rng(0)
     lengths = list(lengths)
-    if all(l != 0 for l in lengths):
-        pass
+    if any(l == 0 for l in lengths):
+        # the reference asserts this (llava_trainer.py:87); a zero length
+        # would otherwise silently vanish from the epoch below
+        raise ValueError("modality grouping needs non-zero length hints "
+                         "(positive = media, negative = text)")
     if all(l > 0 for l in lengths) or all(l < 0 for l in lengths):
         return get_length_grouped_indices([abs(l) for l in lengths], batch_size,
                                           world_size, g)

@@ -69,7 +69,12 @@ class KeywordsStoppingCriteria:
         for kw_ids in self.keyword_ids:
             if len(tail) >= len(kw_ids) and np.array_equal(tail[-len(kw_ids):], kw_ids):
                 return True
-        text = self.tokenizer.decode(output_ids, skip_special_tokens=False)
+        # text backstop over a bounded tail only (the reference decodes the
+        # full sequence every step — O(n^2) over a generation); a window of
+        # 3x the longest keyword id-length covers mid-stream retokenization
+        window = max(self.max_keyword_len * 3, 16)
+        text = self.tokenizer.decode(output_ids[-window:],
+                                     skip_special_tokens=False)
         return any(kw in text for kw in self.keywords)
 
 

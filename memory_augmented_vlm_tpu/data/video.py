@@ -36,7 +36,9 @@ def sample_frame_indices(
     """
     video_time = total_frames / avg_fps
     if video_time >= 32:
-        n = int((video_time - 1) // 32)
+        # the reference formula degenerates to 0 frames for 32 <= t < 33 s
+        # (n = (t-1)//32 == 0); clamp to one segment so the clip is usable
+        n = max(int((video_time - 1) // 32), 1)
         num = min(n * 32, total_frames)
         idx = np.linspace(0, total_frames - 1, num, dtype=int).tolist()
     else:

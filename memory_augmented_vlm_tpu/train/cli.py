@@ -204,6 +204,12 @@ def train(args) -> Dict[str, float]:
                                 run_name=args.run_name)
     timer = StepTimer()
     rng = np.random.default_rng(args.seed)
+    # dataset sampling strategies ('random:N') use the stdlib shuffle; seed
+    # it too or auto-resumed runs rebuild a DIFFERENT data subset (the
+    # reference gets this via HF set_seed)
+    import random as _random
+
+    _random.seed(args.seed)
 
     # bucketed batching: greedy queueing by bucket key
     queues: Dict[tuple, List] = defaultdict(list)
@@ -216,6 +222,11 @@ def train(args) -> Dict[str, float]:
     # otherwise one pass bounded by num_train_epochs
     data_budget = (np.inf if args.max_steps > 0
                    else len(order) * int(np.ceil(args.num_train_epochs)))
+    # the jitted steps must trace under the ambient mesh or every
+    # sharding_constraint inside them (CE logits pin, activation specs)
+    # silently no-ops — see parallel/sharding.constrain
+    mesh_ctx = jax.set_mesh(mesh)
+    mesh_ctx.__enter__()
     while step < total_micro_steps and i < data_budget:
         with timer.section("data"):
             sample = dataset[int(order[i % len(order)])]
@@ -266,6 +277,7 @@ def train(args) -> Dict[str, float]:
                                          keep=args.save_total_limit)
                 last_saved = step
 
+    mesh_ctx.__exit__(None, None, None)
     if step == 0 and any(queues.values()):
         rank0_print(
             f"WARNING: dataset too small to fill a batch of {bsz}; "

@@ -119,6 +119,7 @@ struct Loader {
   std::condition_variable cv_push;  // workers wait for space
   std::condition_variable cv_pop;   // consumer waits for data
   std::deque<Buffer*> ready;
+  Buffer* last_delivered = nullptr;  // freed on the next fl_next
   int64_t delivered = 0;
   bool stopping = false;
   std::vector<std::thread> threads;
@@ -180,8 +181,16 @@ int fl_next(void* handle, const float** out_data, int64_t* out_shape,
                static_cast<int64_t>(L->paths.size());
   });
   if (L->ready.empty()) return 1;  // end of stream
+  // the consumer copies each buffer before requesting the next one; release
+  // the previous payload here so host memory stays bounded by queue_cap
+  // instead of growing with every file processed
+  if (L->last_delivered) {
+    L->last_delivered->data.clear();
+    L->last_delivered->data.shrink_to_fit();
+  }
   Buffer* buf = L->ready.front();
   L->ready.pop_front();
+  L->last_delivered = buf;
   L->delivered += 1;
   L->cv_push.notify_one();
   *out_data = buf->data.data();

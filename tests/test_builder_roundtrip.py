@@ -140,3 +140,18 @@ def test_overwrite_config(ckpt_dir):
         overwrite_config={"mm_spatial_pool_mode": "average"},
     )
     assert model.cfg.pipeline.mm_spatial_pool_mode == "average"
+
+
+def test_load_safetensors_bf16(tmp_path):
+    """Real flagship checkpoints ship in bfloat16; the importer must decode
+    them (numpy-framework safetensors surfaces bf16 as a void dtype)."""
+    from safetensors.torch import save_file
+
+    from memory_augmented_vlm_tpu.checkpoint.hf_import import load_safetensors_dir
+
+    t = torch.arange(8, dtype=torch.float32).reshape(2, 4) / 3.0
+    save_file({"w": t.to(torch.bfloat16)}, str(tmp_path / "model.safetensors"))
+    sd = load_safetensors_dir(str(tmp_path))
+    assert sd["w"].dtype == np.float32
+    np.testing.assert_allclose(
+        sd["w"], t.to(torch.bfloat16).to(torch.float32).numpy())
