@@ -90,7 +90,9 @@ def forward(params, projector_type: str, x: jax.Array) -> jax.Array:
     for blk in params.get("res_blocks", []):
         from memory_augmented_vlm_tpu.ops.norms import layer_norm
 
-        h = layer_norm(out, blk["pre_norm"]["weight"], blk["pre_norm"]["bias"])
+        # torch nn.LayerNorm default eps (SimpleResBlock, builder.py:20-30)
+        h = layer_norm(out, blk["pre_norm"]["weight"], blk["pre_norm"]["bias"],
+                       eps=1e-5)
         y = jnp.einsum("...i,io->...o", h, blk["fc1"]["kernel"]) + blk["fc1"]["bias"]
         y = jax.nn.gelu(y, approximate=False)
         y = jnp.einsum("...i,io->...o", y, blk["fc2"]["kernel"]) + blk["fc2"]["bias"]
