@@ -192,6 +192,11 @@ def export_hf_safetensors(params: Any, cfg, out_dir: str) -> str:
             "mm_patch_merge_type": cfg.pipeline.mm_patch_merge_type,
             "mm_newline_position": cfg.pipeline.mm_newline_position,
             "mm_spatial_pool_mode": cfg.pipeline.mm_spatial_pool_mode,
+            "image_aspect_ratio": cfg.pipeline.image_aspect_ratio,
+            "image_grid_pinpoints": (
+                [list(p) for p in cfg.pipeline.image_grid_pinpoints]
+                if isinstance(cfg.pipeline.image_grid_pinpoints, tuple)
+                else cfg.pipeline.image_grid_pinpoints),
             "tokenizer_model_max_length": cfg.pipeline.tokenizer_model_max_length,
         }, f, indent=2)
     return out_path

@@ -16,7 +16,7 @@ Reference anchors:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,6 +170,10 @@ class PipelineConfig:
     mm_spatial_pool_mode: str = "bilinear"
     mm_spatial_pool_stride: int = 2
     image_aspect_ratio: str = "anyres_max_9"
+    # anyres tiling grid (`image_grid_pinpoints` in the reference config,
+    # llava_arch.py:653): a spec string or a tuple of (w, h) resolutions
+    # (tuple, not list — PipelineConfig must stay hashable for jit statics)
+    image_grid_pinpoints: Union[str, Tuple[Tuple[int, int], ...]] = "(1x1),...,(6x6)"
     mm_vision_select_layer: int = -2
     mm_vision_select_feature: str = "patch"
     dropout_frames: bool = False

@@ -121,6 +121,14 @@ def infer_memory_config(sd: dict, lm_hidden: int) -> MemoryConfig:
                         patch_size=pp, depth=depth)
 
 
+def _hashable_pinpoints(pp):
+    """config.json stores `image_grid_pinpoints` as a list of [w, h] pairs or
+    a spec string; PipelineConfig needs a hashable value (jit static)."""
+    if isinstance(pp, (list, tuple)):
+        return tuple(tuple(int(v) for v in p) for p in pp)
+    return pp
+
+
 def config_from_json(raw: dict) -> VLMConfig:
     """Map a Llava-family HF config.json onto our typed config.
 
@@ -141,6 +149,8 @@ def config_from_json(raw: dict) -> VLMConfig:
         mm_newline_position=raw.get("mm_newline_position", "one_token"),
         mm_spatial_pool_mode=raw.get("mm_spatial_pool_mode", "bilinear"),
         image_aspect_ratio=raw.get("image_aspect_ratio", "anyres_max_9"),
+        image_grid_pinpoints=_hashable_pinpoints(
+            raw.get("image_grid_pinpoints", "(1x1),...,(6x6)")),
         dropout_frames=raw.get("dropout_frames", False),
         add_time_instruction=raw.get("add_time_instruction", False),
         tokenizer_model_max_length=raw.get("tokenizer_model_max_length", 32768),

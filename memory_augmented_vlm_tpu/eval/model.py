@@ -275,11 +275,9 @@ class MavlmForCausalLM:
                         and self.cfg.pipeline.image_aspect_ratio.startswith("anyres")):
                     from PIL import Image
 
-                    pinpoints = getattr(
-                        self.cfg.pipeline, "image_aspect_ratio_grid_pinpoints",
-                        "(1x1),...,(6x6)")
                     pixels, auto_size = process_anyres_image(
-                        Image.fromarray(pixels[0]), proc, pinpoints)
+                        Image.fromarray(pixels[0]), proc,
+                        self.cfg.pipeline.image_grid_pinpoints)
                     if not image_sizes:
                         image_sizes = [auto_size]
                 else:

@@ -88,10 +88,7 @@ def build_image_embeds(
     base = feats[0]
     tiles = feats[1:]
     npw, nph = get_anyres_image_grid_shape(
-        image_size, pipe.image_aspect_ratio_grid_pinpoints
-        if hasattr(pipe, "image_aspect_ratio_grid_pinpoints")
-        else "(1x1),...,(6x6)",
-        cfg.vision.image_size,
+        image_size, pipe.image_grid_pinpoints, cfg.vision.image_size,
     )
     grid = tiles.reshape(nph, npw, side, side, h)
 
@@ -148,7 +145,8 @@ def image_qa_embeds(
     processor = image_processor or SigLipImageProcessor(
         size=(cfg.vision.image_size, cfg.vision.image_size))
     if cfg.pipeline.image_aspect_ratio.startswith("anyres"):
-        pixels, size = process_anyres_image(image, processor, "(1x1),...,(6x6)")
+        pixels, size = process_anyres_image(
+            image, processor, cfg.pipeline.image_grid_pinpoints)
     else:
         pixels = processor.preprocess(image)
         size = image.size

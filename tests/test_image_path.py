@@ -88,3 +88,29 @@ def test_single_view_image_flat_plus_newline():
     pixels = proc.preprocess(img)
     visual = image_path.build_image_embeds(params, cfg, pixels, img.size)
     assert visual.shape == (cfg.vision.num_patches + 1, cfg.lm.hidden_size)
+
+
+def test_grid_pinpoints_config_plumbing():
+    """config.json `image_grid_pinpoints` (list or spec string) reaches the
+    pipeline config as a hashable value and drives the grid-shape pick."""
+    from memory_augmented_vlm_tpu.eval.builder import config_from_json
+
+    cfg = config_from_json({
+        "hidden_size": 64, "num_hidden_layers": 1, "num_attention_heads": 2,
+        "num_key_value_heads": 1, "intermediate_size": 128,
+        "vocab_size": 49152,
+        "image_grid_pinpoints": [[384, 768], [768, 384]],
+    })
+    assert cfg.pipeline.image_grid_pinpoints == ((384, 768), (768, 384))
+    hash(cfg.pipeline)  # must stay usable as a jit static
+    # a tall image picks the 1x2 grid from the custom list
+    npw, nph = image_path.get_anyres_image_grid_shape(
+        (300, 700), cfg.pipeline.image_grid_pinpoints, 384)
+    assert (npw, nph) == (1, 2)
+
+    cfg2 = config_from_json({
+        "hidden_size": 64, "num_hidden_layers": 1, "num_attention_heads": 2,
+        "num_key_value_heads": 1, "intermediate_size": 128,
+        "vocab_size": 49152,
+    })
+    assert cfg2.pipeline.image_grid_pinpoints == "(1x1),...,(6x6)"
