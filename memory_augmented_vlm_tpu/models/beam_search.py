@@ -34,10 +34,20 @@ NEG_INF = -1.0e9
 
 
 def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
-               *, num_beams: int, max_new_tokens: int, length_penalty: float):
-    """embeds (1, Smax, H) right-padded. Returns (tokens (max_new,), n)."""
+               *, num_beams: int, max_new_tokens: int, length_penalty: float,
+               repetition_penalty: float = 1.0):
+    """embeds (1, Smax, H) right-padded. Returns (tokens (max_new,), n).
+
+    `repetition_penalty` follows HF's beam path exactly: the
+    RepetitionPenaltyLogitsProcessor runs on the log-softmaxed scores
+    (GenerationMixin._beam_search applies processors to `next_token_scores`),
+    over the generated ids only — with `inputs_embeds` and no `input_ids`,
+    HF's rolling `input_ids` holds just the generated tokens, so the prompt
+    is never penalized (matching the reference's multimodal generate,
+    llava_qwen.py:116-136)."""
     lm = params["language_model"]
     k = num_beams
+    track = repetition_penalty != 1.0
     smax = embeds.shape[1]
     hidden, cache0 = qwen2.forward(
         lm, cfg.lm, embeds, jnp.arange(smax)[None], valid_len=valid_len,
@@ -78,12 +88,18 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
     tokens0 = jnp.zeros((k, max_new_tokens), jnp.int32).at[:, 0].set(first_tok)
 
     def advance(state):
-        (step, scores, tokens, cache, fin_scores, fin_tokens) = state
+        step, scores, tokens, cache = (state["step"], state["scores"],
+                                       state["tokens"], state["cache"])
+        fin_scores, fin_tokens = state["fin_scores"], state["fin_tokens"]
         emb = qwen2.embed_tokens(
             lm, tokens[:, step - 1][:, None], cfg.lm).astype(embeds.dtype)
         hidden, cache = qwen2.decode_step(lm, cfg.lm, emb, cache)
         logp = jax.nn.log_softmax(
             qwen2.unembed(lm, cfg.lm, hidden)[:, 0])          # (K, V)
+        if track:
+            pen = jnp.where(logp < 0, logp * repetition_penalty,
+                            logp / repetition_penalty)
+            logp = jnp.where(state["presence"], pen, logp)
         v = logp.shape[-1]
         cand = (scores[:, None] + logp).reshape(-1)           # (K*V,)
         cand_scores, cand_idx = jax.lax.top_k(cand, 2 * k)
@@ -114,16 +130,28 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
             v=jnp.take(cache.v, parent, axis=1),
             length=jnp.take(cache.length, parent, axis=0),
         )
-        return (step + 1, new_scores, tokens, cache, fin_scores, fin_tokens)
+        out = dict(step=step + 1, scores=new_scores, tokens=tokens,
+                   cache=cache, fin_scores=fin_scores, fin_tokens=fin_tokens)
+        if track:
+            new_tok = jnp.take(cand_tok, run_sel)
+            out["presence"] = (jnp.take(state["presence"], parent, axis=0)
+                               .at[jnp.arange(k), new_tok].set(True))
+        return out
 
     def cond(state):
-        step, scores, _, _, fin_scores, _ = state
-        done = jnp.sum(fin_scores > NEG_INF / 2) >= k  # early_stopping=True
-        return jnp.logical_and(step < max_new_tokens, jnp.logical_not(done))
+        # early_stopping=True
+        done = jnp.sum(state["fin_scores"] > NEG_INF / 2) >= k
+        return jnp.logical_and(state["step"] < max_new_tokens,
+                               jnp.logical_not(done))
 
-    state = (jnp.asarray(1), scores, tokens0, cache, fin_scores0, fin_tokens0)
-    step, scores, tokens, _, fin_scores, fin_tokens = jax.lax.while_loop(
-        cond, advance, state)
+    state = dict(step=jnp.asarray(1), scores=scores, tokens=tokens0,
+                 cache=cache, fin_scores=fin_scores0, fin_tokens=fin_tokens0)
+    if track:
+        state["presence"] = (jnp.zeros((k, logp0.shape[-1]), bool)
+                             .at[jnp.arange(k), first_tok].set(True))
+    state = jax.lax.while_loop(cond, advance, state)
+    step, scores, tokens = state["step"], state["scores"], state["tokens"]
+    fin_scores, fin_tokens = state["fin_scores"], state["fin_tokens"]
 
     # finalize: HF's finalize adds running beams ONLY when the search was
     # not early-stopped (pool not yet full); after an early stop the pool
@@ -146,11 +174,12 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
 
 @functools.lru_cache(maxsize=16)
 def _jit_beam(cfg: VLMConfig, num_beams: int, max_new_tokens: int,
-              length_penalty: float):
+              length_penalty: float, repetition_penalty: float):
     return jax.jit(
         functools.partial(_beam_core, num_beams=num_beams,
                           max_new_tokens=max_new_tokens,
-                          length_penalty=length_penalty),
+                          length_penalty=length_penalty,
+                          repetition_penalty=repetition_penalty),
         static_argnames=("cfg",),
     )
 
@@ -164,6 +193,7 @@ def beam_search(
     max_new_tokens: int = 128,
     eos_token_ids: Tuple[int, ...] = (151645,),
     length_penalty: float = 1.0,
+    repetition_penalty: float = 1.0,
     pad_to_multiple: int = 128,
 ) -> np.ndarray:
     """Best beam's generated ids (without prompt echo)."""
@@ -171,7 +201,7 @@ def beam_search(
     smax = ((s + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple
     embeds = jnp.pad(inputs_embeds, ((0, smax - s), (0, 0)))[None]
     fn = _jit_beam(cfg, int(num_beams), int(max_new_tokens),
-                   float(length_penalty))
+                   float(length_penalty), float(repetition_penalty))
     tokens, n = fn(params, cfg, embeds, jnp.asarray([s], jnp.int32),
                    jnp.asarray(eos_token_ids, jnp.int32))
     return np.asarray(tokens)[: int(n)]

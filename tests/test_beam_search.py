@@ -144,3 +144,43 @@ def test_beam_search_length_penalty_variants(tiny):
             max_new_tokens=8, eos_token_ids=(127,), length_penalty=lp,
             pad_to_multiple=8)
         np.testing.assert_array_equal(got, ref, err_msg=f"lp={lp}")
+
+
+@pytest.mark.parametrize("penalty", [1.3, 2.0])
+def test_beam_repetition_penalty_matches_hf(tiny, penalty):
+    """HF applies RepetitionPenaltyLogitsProcessor to the log-softmaxed beam
+    scores over the generated ids (inputs_embeds path: no prompt echo in the
+    rolling input_ids)."""
+    hf_model, cfg, params = tiny
+    rng = np.random.default_rng(77)
+    ids = rng.integers(0, cfg.lm.vocab_size, size=(1, 7))
+    eos = 127
+    with torch.no_grad():
+        emb = hf_model.get_input_embeddings()(torch.from_numpy(ids))
+        ref = hf_model.generate(
+            inputs_embeds=emb, max_new_tokens=12, do_sample=False,
+            num_beams=3, early_stopping=True, length_penalty=1.0,
+            repetition_penalty=penalty, eos_token_id=eos, pad_token_id=0,
+        ).numpy()[0]
+    if (ref == eos).any():
+        ref = ref[: int(np.argmax(ref == eos)) + 1]
+    got = beam_search.beam_search(
+        params, cfg, _embeds(params, ids[0]), num_beams=3,
+        max_new_tokens=12, eos_token_ids=(eos,), repetition_penalty=penalty,
+        pad_to_multiple=8)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_beam_repetition_penalty_changes_output(tiny):
+    """Sanity: with a harsh penalty the no-penalty and penalized beams differ
+    (guards against the penalty silently not being applied)."""
+    hf_model, cfg, params = tiny
+    rng = np.random.default_rng(88)
+    ids = rng.integers(0, cfg.lm.vocab_size, size=(6,))
+    base = beam_search.beam_search(
+        params, cfg, _embeds(params, ids), num_beams=2, max_new_tokens=10,
+        eos_token_ids=(127,), pad_to_multiple=8)
+    pen = beam_search.beam_search(
+        params, cfg, _embeds(params, ids), num_beams=2, max_new_tokens=10,
+        eos_token_ids=(127,), repetition_penalty=50.0, pad_to_multiple=8)
+    assert base.shape != pen.shape or not np.array_equal(base, pen)
