@@ -151,9 +151,16 @@ def build_optimizer(params: Any, cfg: OptimizerConfig) -> optax.GradientTransfor
     opt = optax.multi_transform(transforms, labels)
 
     mask = trainable_mask(params, cfg.mm_tunable_parts)
-    frozen = optax.masked(optax.set_to_zero(), jax.tree.map(lambda t: not t, mask))
-    chain = [optax.clip_by_global_norm(cfg.max_grad_norm)] if cfg.max_grad_norm else []
-    tx = optax.chain(*chain, opt, frozen)
+    freeze = jax.tree.map(lambda t: not t, mask)
+    # zero frozen grads BEFORE the global-norm clip: torch's frozen params
+    # (requires_grad=False) never enter clip_grad_norm_, so frozen-module
+    # grads must not inflate the norm and over-clip the trainable updates.
+    # The trailing zero guards the frozen leaves against AdamW weight decay
+    # (decoupled wd updates params even at zero grad).
+    chain = [optax.masked(optax.set_to_zero(), freeze)]
+    if cfg.max_grad_norm:
+        chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
+    tx = optax.chain(*chain, opt, optax.masked(optax.set_to_zero(), freeze))
     if cfg.grad_accum_steps > 1:
         # gradient accumulation (the reference's HF Trainer
         # gradient_accumulation_steps): average grads over k micro-steps,

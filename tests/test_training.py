@@ -175,3 +175,52 @@ def test_train_step_with_int8_tower():
     after_tower = jax.tree.leaves(state.params["vision_tower"])[0]
     np.testing.assert_array_equal(np.asarray(before_tower),
                                   np.asarray(after_tower))
+
+
+def test_frozen_grads_do_not_inflate_clip_norm():
+    """torch frozen params (requires_grad=False) never enter clip_grad_norm_;
+    the optax chain must zero frozen grads BEFORE the global-norm clip."""
+    import optax
+
+    from memory_augmented_vlm_tpu.train.optimizer import (
+        OptimizerConfig, build_optimizer)
+
+    params = {"language_model": {"w": jnp.ones((4, 4))},
+              "mm_projector": {"w": jnp.ones((4, 4))}}
+    cfg = OptimizerConfig(learning_rate=1e-2, max_grad_norm=1.0,
+                          warmup_ratio=0.0, schedule="constant",
+                          mm_tunable_parts="mm_language_model",
+                          mm_vision_tower_lr=None, memory_transformer_lr=None,
+                          memory_key_value_lr=None)
+    tx = build_optimizer(params, cfg)
+    state = tx.init(params)
+    # tiny trainable grad, huge frozen grad: with the bug the frozen grad
+    # pushes the global norm to ~4000 and the trainable update collapses
+    grads = {"language_model": {"w": jnp.full((4, 4), 0.1)},
+             "mm_projector": {"w": jnp.full((4, 4), 1000.0)}}
+    updates, _ = tx.update(grads, state, params)
+    # trainable grad norm is 0.4 < 1.0 -> unclipped Adam step ~ lr
+    lm_update = np.asarray(updates["language_model"]["w"])
+    assert np.all(np.abs(lm_update) > 0.5 * cfg.learning_rate), lm_update
+    # frozen leaf stays exactly zero
+    assert np.all(np.asarray(updates["mm_projector"]["w"]) == 0.0)
+
+
+def test_frozen_leaves_resist_weight_decay():
+    """With weight_decay > 0, AdamW must not decay frozen leaves."""
+    from memory_augmented_vlm_tpu.train.optimizer import (
+        OptimizerConfig, build_optimizer)
+
+    params = {"language_model": {"w": jnp.ones((4, 4))},
+              "mm_projector": {"w": jnp.ones((4, 4))}}
+    cfg = OptimizerConfig(learning_rate=1e-2, weight_decay=0.1,
+                          max_grad_norm=1.0, warmup_ratio=0.0,
+                          schedule="constant",
+                          mm_tunable_parts="mm_language_model",
+                          mm_vision_tower_lr=None, memory_transformer_lr=None,
+                          memory_key_value_lr=None)
+    tx = build_optimizer(params, cfg)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert np.all(np.asarray(updates["mm_projector"]["w"]) == 0.0)
