@@ -157,17 +157,13 @@ class MavlmForCausalLM:
             if do_sample:
                 raise NotImplementedError("beam sampling is not supported; "
                                           "use do_sample OR num_beams")
-            if stop_sequences:
-                # HF applies stopping criteria inside beam search; silently
-                # dropping them would change benchmark answers
-                raise NotImplementedError(
-                    "stop_sequences are not supported with num_beams>1 yet")
             rows_out = [
                 beam_search.beam_search(
                     self.params, self.cfg, e, num_beams=num_beams,
                     max_new_tokens=max_new_tokens, eos_token_ids=eos,
                     length_penalty=float(kwargs.get("length_penalty", 1.0)),
-                    repetition_penalty=float(repetition_penalty))
+                    repetition_penalty=float(repetition_penalty),
+                    stop_sequences=kn["stop_sequences"])
                 for e in embeds_rows
             ]
             width = max(1, max(len(r) for r in rows_out))

@@ -28,12 +28,13 @@ import jax
 import jax.numpy as jnp
 
 from memory_augmented_vlm_tpu.config import VLMConfig
-from memory_augmented_vlm_tpu.models import qwen2
+from memory_augmented_vlm_tpu.models import qwen2, sampling
 
 NEG_INF = -1.0e9
 
 
 def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
+               stop_seqs, stop_lens,
                *, num_beams: int, max_new_tokens: int, length_penalty: float,
                repetition_penalty: float = 1.0):
     """embeds (1, Smax, H) right-padded. Returns (tokens (max_new,), n).
@@ -48,6 +49,7 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
     lm = params["language_model"]
     k = num_beams
     track = repetition_penalty != 1.0
+    track_kw = int(stop_seqs.shape[0]) > 0
     smax = embeds.shape[1]
     hidden, cache0 = qwen2.forward(
         lm, cfg.lm, embeds, jnp.arange(smax)[None], valid_len=valid_len,
@@ -65,11 +67,20 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
     # best K non-eos candidates become the running beams (BeamSearchScorer
     # .process applied to a first step where all beams share one history)
     cand_scores0, cand_tok0 = jax.lax.top_k(logp0, 2 * k)
-    cand_eos0 = is_eos(cand_tok0)
+    cand_done0 = is_eos(cand_tok0)
+    if track_kw:
+        # stopping-criteria hits act exactly like eos in HF's vectorized
+        # beam search (_update_finished_beams consumes one merged
+        # `next_token_hits_stopping_criteria` mask)
+        lstop = int(stop_seqs.shape[1])
+        cand_recent0 = (jnp.full((2 * k, lstop), -1, jnp.int32)
+                        .at[:, -1].set(cand_tok0))
+        cand_done0 = cand_done0 | sampling.stop_sequence_hit(
+            cand_recent0, stop_seqs, stop_lens, jnp.ones((2 * k,), jnp.int32))
     rank_lt_k0 = jnp.arange(2 * k) < k
     fin_scores0 = jnp.full((k,), NEG_INF)
     fin_tokens0 = jnp.zeros((k, max_new_tokens), jnp.int32)
-    pool_cand0 = jnp.where(cand_eos0 & rank_lt_k0,
+    pool_cand0 = jnp.where(cand_done0 & rank_lt_k0,
                            cand_scores0 / (1.0 ** length_penalty), NEG_INF)
     fin_scores0, fin_sel0 = jax.lax.top_k(
         jnp.concatenate([fin_scores0, pool_cand0]), k)
@@ -77,7 +88,7 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
         [fin_tokens0,
          jnp.zeros((2 * k, max_new_tokens), jnp.int32).at[:, 0].set(cand_tok0)])
     fin_tokens0 = jnp.take(fin_tokens_all0, fin_sel0, axis=0)
-    run_rank0 = jnp.where(cand_eos0, NEG_INF, cand_scores0)
+    run_rank0 = jnp.where(cand_done0, NEG_INF, cand_scores0)
     scores, run_sel0 = jax.lax.top_k(run_rank0, k)
     first_tok = jnp.take(cand_tok0, run_sel0)
     cache = qwen2.KVCache(
@@ -106,14 +117,21 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
         cand_beam = cand_idx // v
         cand_tok = (cand_idx % v).astype(jnp.int32)
         cand_tokens = jnp.take(tokens, cand_beam, axis=0).at[:, step].set(cand_tok)
-        cand_eos = is_eos(cand_tok)
+        cand_done = is_eos(cand_tok)
+        if track_kw:
+            cand_recent = jnp.concatenate(
+                [jnp.take(state["recent"], cand_beam, axis=0)[:, 1:],
+                 cand_tok[:, None]], axis=1)
+            cand_done = cand_done | sampling.stop_sequence_hit(
+                cand_recent, stop_seqs, stop_lens,
+                jnp.full((2 * k,), step + 1, jnp.int32))
 
         # finished pool: merge eos candidates among the FIRST K ranks (HF
         # BeamSearchScorer.process skips eos with beam_token_rank >= K),
         # scored at length step+1
         rank_lt_k = jnp.arange(2 * k) < k
         cand_fin = jnp.where(
-            cand_eos & rank_lt_k,
+            cand_done & rank_lt_k,
             cand_scores / ((step + 1.0) ** length_penalty), NEG_INF)
         all_fin_scores = jnp.concatenate([fin_scores, cand_fin])
         all_fin_tokens = jnp.concatenate([fin_tokens, cand_tokens], axis=0)
@@ -121,7 +139,7 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
         fin_tokens = jnp.take(all_fin_tokens, fin_sel, axis=0)
 
         # running beams: best K non-eos candidates (order-preserving)
-        run_rank = jnp.where(cand_eos, NEG_INF, cand_scores)
+        run_rank = jnp.where(cand_done, NEG_INF, cand_scores)
         new_scores, run_sel = jax.lax.top_k(run_rank, k)
         parent = jnp.take(cand_beam, run_sel)
         tokens = jnp.take(cand_tokens, run_sel, axis=0)
@@ -136,11 +154,18 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
             new_tok = jnp.take(cand_tok, run_sel)
             out["presence"] = (jnp.take(state["presence"], parent, axis=0)
                                .at[jnp.arange(k), new_tok].set(True))
+        if track_kw:
+            out["recent"] = jnp.take(cand_recent, run_sel, axis=0)
+            # HF's `valid_continuations`: the search dies when every top-2K
+            # candidate hits a stopping criterion
+            out["all_cand_done"] = jnp.all(cand_done)
         return out
 
     def cond(state):
         # early_stopping=True
         done = jnp.sum(state["fin_scores"] > NEG_INF / 2) >= k
+        if track_kw:
+            done = jnp.logical_or(done, state["all_cand_done"])
         return jnp.logical_and(state["step"] < max_new_tokens,
                                jnp.logical_not(done))
 
@@ -149,6 +174,9 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
     if track:
         state["presence"] = (jnp.zeros((k, logp0.shape[-1]), bool)
                              .at[jnp.arange(k), first_tok].set(True))
+    if track_kw:
+        state["recent"] = jnp.take(cand_recent0, run_sel0, axis=0)
+        state["all_cand_done"] = jnp.all(cand_done0)
     state = jax.lax.while_loop(cond, advance, state)
     step, scores, tokens = state["step"], state["scores"], state["tokens"]
     fin_scores, fin_tokens = state["fin_scores"], state["fin_tokens"]
@@ -194,14 +222,28 @@ def beam_search(
     eos_token_ids: Tuple[int, ...] = (151645,),
     length_penalty: float = 1.0,
     repetition_penalty: float = 1.0,
+    stop_sequences: Tuple[Tuple[int, ...], ...] = (),
     pad_to_multiple: int = 128,
 ) -> np.ndarray:
-    """Best beam's generated ids (without prompt echo)."""
+    """Best beam's generated ids (without prompt echo), truncated just after
+    the first stop sequence (matching the greedy path's `num` accounting)."""
     s = inputs_embeds.shape[0]
     smax = ((s + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple
     embeds = jnp.pad(inputs_embeds, ((0, smax - s), (0, 0)))[None]
+    seqs, lens = sampling.pack_stop_sequences(stop_sequences)
     fn = _jit_beam(cfg, int(num_beams), int(max_new_tokens),
                    float(length_penalty), float(repetition_penalty))
     tokens, n = fn(params, cfg, embeds, jnp.asarray([s], jnp.int32),
-                   jnp.asarray(eos_token_ids, jnp.int32))
-    return np.asarray(tokens)[: int(n)]
+                   jnp.asarray(eos_token_ids, jnp.int32),
+                   jnp.asarray(seqs), jnp.asarray(lens))
+    out = np.asarray(tokens)[: int(n)]
+    # host-side cut at the earliest completed stop sequence (inclusive, like
+    # the greedy path, whose `num` counts the stop tokens; callers strip the
+    # keyword text after detokenizing)
+    for seq in stop_sequences:
+        seq = list(seq)
+        for end in range(len(seq) - 1, len(out)):
+            if list(out[end - len(seq) + 1: end + 1]) == seq:
+                out = out[: end + 1]
+                break
+    return out

@@ -184,3 +184,86 @@ def test_beam_repetition_penalty_changes_output(tiny):
         params, cfg, _embeds(params, ids), num_beams=2, max_new_tokens=10,
         eos_token_ids=(127,), repetition_penalty=50.0, pad_to_multiple=8)
     assert base.shape != pen.shape or not np.array_equal(base, pen)
+
+
+class _SubseqCriteria:
+    """Token-level stop-sequence criterion: per-row bool, True when the row
+    contains one of the sequences (the role HF's StopStringCriteria plays for
+    beam candidates in _beam_search)."""
+
+    def __init__(self, seqs):
+        self.seqs = [list(s) for s in seqs]
+
+    def __call__(self, input_ids, scores, **kw):
+        rows = input_ids.tolist()
+        out = []
+        for row in rows:
+            hit = False
+            for s in self.seqs:
+                for i in range(len(s) - 1, len(row)):
+                    if row[i - len(s) + 1: i + 1] == s:
+                        hit = True
+                        break
+                if hit:
+                    break
+            out.append(hit)
+        return torch.tensor(out, dtype=torch.bool)
+
+
+@pytest.mark.parametrize("num_beams", [2, 3])
+def test_beam_search_stop_sequences_match_hf(tiny, num_beams):
+    """Beam search + stop_sequences: a candidate completing a stop sequence
+    moves to the hypothesis pool exactly like eos (HF vectorized beam
+    search merges all stopping criteria into one candidate mask)."""
+    from transformers import StoppingCriteriaList
+
+    hf_model, cfg, params = tiny
+    rng = np.random.default_rng(60 + num_beams)
+    ids = rng.integers(0, cfg.lm.vocab_size, size=(1, 6))
+    eos = 127
+
+    # run a short unconstrained beam search to find tokens the model will
+    # actually emit, then use a 2-token window from the best beam as the stop
+    probe = beam_search.beam_search(
+        params, cfg, _embeds(params, ids[0]), num_beams=num_beams,
+        max_new_tokens=8, eos_token_ids=(eos,), pad_to_multiple=8)
+    if len(probe) < 4:
+        pytest.skip("probe rollout too short to carve a stop sequence")
+    stop = tuple(int(t) for t in probe[2:4])
+
+    crit = _SubseqCriteria([stop])
+    with torch.no_grad():
+        emb = hf_model.get_input_embeddings()(torch.from_numpy(ids))
+        ref = hf_model.generate(
+            inputs_embeds=emb, max_new_tokens=8, do_sample=False,
+            num_beams=num_beams, early_stopping=True, length_penalty=1.0,
+            eos_token_id=eos, pad_token_id=0,
+            stopping_criteria=StoppingCriteriaList([crit]),
+        ).numpy()[0]
+    # HF pads the returned row with pad_token_id=0 after the stop hit; trim
+    # to the earliest stop-sequence completion (ours truncates the same way)
+    out_ref = list(ref)
+    for i in range(1, len(out_ref)):
+        if out_ref[i - 1: i + 1] == list(stop):
+            out_ref = out_ref[: i + 1]
+            break
+    if (np.asarray(out_ref) == eos).any():
+        out_ref = out_ref[: int(np.argmax(np.asarray(out_ref) == eos)) + 1]
+
+    got = beam_search.beam_search(
+        params, cfg, _embeds(params, ids[0]), num_beams=num_beams,
+        max_new_tokens=8, eos_token_ids=(eos,), pad_to_multiple=8,
+        stop_sequences=(stop,))
+    np.testing.assert_array_equal(got, np.asarray(out_ref))
+
+
+def test_model_shell_beam_with_stop_sequences(tiny):
+    from memory_augmented_vlm_tpu.eval.model import MavlmForCausalLM
+
+    _, cfg, params = tiny
+    model = MavlmForCausalLM(params, cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(70)
+    ids = rng.integers(0, cfg.lm.vocab_size, size=(1, 5)).astype(np.int64)
+    out = model.generate(ids, num_beams=2, max_new_tokens=6, eos_token_id=127,
+                         stop_sequences=((5, 9),))
+    assert out.shape[0] == 1 and out.shape[1] >= 1
