@@ -1,0 +1,102 @@
+"""Training-step benchmark: flagship 0.5B multimodal train step on real TPU.
+
+Times `train/trainer.py::make_train_step` at the flagship geometry (B=1,
+64 frames -> 2 segments, 32 fine frames, St=128 => ~9.7k fused tokens),
+with the timing hygiene from PERFORMANCE.md: value-fetch to force execution
+and a distinct batch per timed iteration (the relay caches identical calls).
+
+Usage: python bench_train.py [--impl intree|ours|xla] [--iters 3]
+
+Prints one JSON line {"metric", "value", "unit", "impl"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from memory_augmented_vlm_tpu import constants
+from memory_augmented_vlm_tpu.config import VLMConfig
+from memory_augmented_vlm_tpu.models import vlm
+from memory_augmented_vlm_tpu.train import trainer
+from memory_augmented_vlm_tpu.train.optimizer import OptimizerConfig
+
+NUM_FRAMES = 64
+NUM_FINE = 32
+ST = 128
+
+
+def make_batch(rng, cfg):
+    pixels = rng.standard_normal((1, NUM_FRAMES, 384, 384, 3)).astype(np.float32)
+    ids = rng.integers(5, 1000, size=(1, ST))
+    labels = ids.copy()
+    labels[:, :8] = constants.IGNORE_INDEX
+    return trainer.TrainBatch(
+        pixels=jnp.asarray(pixels, jnp.bfloat16),
+        frame_indices=jnp.broadcast_to(jnp.arange(NUM_FRAMES)[None], (1, NUM_FRAMES)),
+        frame_valid=jnp.ones((1, NUM_FRAMES), bool),
+        fine_idx=jnp.asarray(
+            vlm.fine_frame_indices(NUM_FRAMES, NUM_FINE), jnp.int32)[None],
+        input_ids=jnp.asarray(ids, jnp.int32),
+        labels=jnp.asarray(labels, jnp.int32),
+        image_pos=jnp.asarray([3], jnp.int32),
+        text_len=jnp.full((1,), ST, jnp.int32),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impl", default="default",
+                    choices=["default", "intree", "ours", "xla"])
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    if args.impl != "default":
+        from memory_augmented_vlm_tpu.ops import attention
+        attention.TRAIN_ATTENTION_IMPL = args.impl
+
+    cfg = VLMConfig.onevision_0_5b()
+    params = vlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+    opt_cfg = OptimizerConfig(
+        learning_rate=1e-5, memory_transformer_lr=5e-5, memory_key_value_lr=5e-5,
+        mm_vision_tower_lr=None, total_steps=100, warmup_ratio=0.03)
+    state = trainer.init_train_state(params, opt_cfg)
+    step_fn = jax.jit(trainer.make_train_step(cfg, opt_cfg, nseg=2), donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, make_batch(rng, cfg))
+    loss0 = float(metrics["loss"])  # value fetch forces execution
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(args.iters):
+        batch = make_batch(rng, cfg)  # distinct batch: relay caches identical calls
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, batch)
+        loss = float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    step_s = min(times)
+
+    print(json.dumps({
+        "metric": "train_step_s_0.5b_64frame",
+        "value": round(step_s, 3),
+        "unit": "s/step",
+        "impl": args.impl,
+        "detail": {
+            "all_times": [round(t, 3) for t in times],
+            "compile_s": round(compile_s, 1),
+            "loss_first": round(loss0, 3),
+            "loss_last": round(loss, 3),
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

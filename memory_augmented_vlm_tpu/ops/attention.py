@@ -24,6 +24,12 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30  # finite large-negative to avoid NaN from (-inf) - (-inf)
 
+# Training-path attention kernel selector (A/B tooling for bench_train.py):
+#   "ours"   — our tiled Pallas backward (ops/pallas_flash_bwd.py)
+#   "intree" — jax.experimental in-tree differentiable flash kernel
+#   "xla"    — fused-XLA reference attention (materializes logits)
+TRAIN_ATTENTION_IMPL = "intree"
+
 
 def mha_attention(
     q: jax.Array,
@@ -153,7 +159,15 @@ def flash_attention(
             return pallas_flash_attention(
                 q, k, v, causal=causal, kv_valid_len=kv_valid_len, scale=scale,
             )
-        if q.shape[1] % 128 == 0:
+        if TRAIN_ATTENTION_IMPL == "ours":
+            from memory_augmented_vlm_tpu.ops.pallas_flash_bwd import (
+                flash_attention_train,
+            )
+
+            return flash_attention_train(
+                q, k, v, causal=causal, kv_valid_len=kv_valid_len, scale=scale,
+            )
+        if TRAIN_ATTENTION_IMPL != "xla" and q.shape[1] % 128 == 0:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 SegmentIds,
                 flash_attention as jax_flash_attention,

@@ -1,28 +1,26 @@
-"""Tiled flash-attention BACKWARD for TPU — the training-path replacement
-for the in-tree differentiable kernel (measured 610-660 ms/layer-call at the
-flagship 9.7k prefill shape; see PERFORMANCE.md).
+"""Tiled flash-attention BACKWARD for TPU — the training-path kernel behind
+`ops.attention.flash_attention(differentiable=True)`.
 
 FlashAttention-2-style backward over saved (q, k, v, out, lse):
 
-  D    = rowsum(dO * O)                                   (XLA, cheap)
-  dq   : grid (b, h, iq, jk) — accumulate ds @ k per q block
-  dk/dv: grid (b, h, jk, iq) — accumulate ds^T @ q and p^T @ dO per kv block
-  with p = exp(s - lse) recomputed per tile (no (S, S) materialization),
-  causal block skipping on both grids and prefix valid-length masking
-  identical to the forward kernel (ops/pallas_flash.py).
+  delta = rowsum(dO * O)                                  (XLA, cheap)
+  dq   : grid (b, h, iq, jk) — accumulate per q block over kv blocks
+  dk/dv: grid (b, h, jk, iq) — accumulate per kv block over q blocks
 
-The public wrapper `flash_attention_train` is a custom_vjp whose forward is
-the tuned inference kernel extended to emit LSE; gradients match the XLA
-reference attention at fp32 tolerance (tests/test_flash_bwd.py) and on-chip
-(dq/dk/dv max err 5e-4/5e-4/3e-3 vs fp32 XLA at S=512).
+Both passes compute the score tile TRANSPOSED (s_T = k @ q^T, shape
+(block_k, block_q)): in that orientation every matmul of the backward is a
+natural MXU contraction (dv = p_T @ dO, dk = ds_T @ q, dq = ds_T^T-contracted
+@ k) AND the per-row softmax statistics broadcast as (1, block_q) row
+vectors. That lets lse/delta stream as (B, H, S) arrays with (1, 1, block_q)
+blocks — ~2 KB per grid step instead of the lane-replicated (block_q, 128)
+fp32 buffers of the first version of this kernel (256 KB per step each,
+which dominated the dkv pass's HBM traffic and made it lose to the in-tree
+kernel; see PERFORMANCE.md round 3).
 
-STATUS: correct but currently NOT wired into the LM training path — the
-flagship train step measured 5.22 s/step with this kernel vs 4.38 s with
-the in-tree differentiable kernel (whose double-buffered pipelining wins at
-the 9.7k shape); `ops.attention.flash_attention(differentiable=True)` keeps
-the in-tree kernel. This module remains the basis for round-3 pipelining
-work and for cross-attention training shapes the in-tree kernel's
-SegmentIds path cannot express.
+p is recomputed per tile from exp(s - lse) — no (S, S) materialization —
+with causal block skipping and right-padded prefix masking identical to the
+forward kernel (ops/pallas_flash.py). Replaces the role of flash-attn-2's
+backward in reference training (llava/train/train.py:188).
 """
 
 from __future__ import annotations
@@ -113,11 +111,14 @@ def _fwd_lse_kernel(
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
         lse = m_scratch[...] + jnp.log(jnp.maximum(l_scratch[...], 1e-30))
-        lse_ref[0, 0] = lse[:, :NUM_LANES]
+        # (block_q, 1) -> (8, block_q) row layout (8 = min fp32 sublane tile):
+        # one small relayout per q block, amortized over the whole kv loop
+        lse_ref[0, 0] = jnp.broadcast_to(
+            jnp.transpose(lse[:, :1], (1, 0)), (8, lse.shape[0]))
 
 
 # ---------------------------------------------------------------------------
-# dq kernel: q-major grid, accumulate over kv blocks
+# dq kernel: q-major grid, transposed score space, accumulate over kv blocks
 # ---------------------------------------------------------------------------
 
 
@@ -150,39 +151,34 @@ def _dq_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0][:, :1]      # (BQ, 1) fp32
-        delta = delta_ref[0, 0][:, :1]  # (BQ, 1) fp32
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        lse = lse_ref[0, 0][:1]      # (1, BQ) fp32
+        delta = delta_ref[0, 0][:1]  # (1, BQ) fp32
+        # transposed scores: rows = kv positions, cols = q positions
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         if sm_scale != 1.0:
-            s *= sm_scale
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_k
-        mask = col_ids < valid_len
+            st *= sm_scale
+        kv_ids = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ikv * block_k
+        q_ids = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1) + iq * block_q
+        mask = kv_ids < valid_len
         if causal:
-            mask = jnp.logical_and(mask, col_ids <= row_ids)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)             # (BQ, BK)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * sm_scale
-        dq_scratch[...] += jax.lax.dot(
-            ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
+            mask = jnp.logical_and(mask, kv_ids <= q_ids)
+        pt = jnp.where(mask, jnp.exp(st - lse), 0.0)            # (BK, BQ)
+        dpt = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        dst = pt * (dpt - delta) * sm_scale                     # (BK, BQ)
+        # dq += ds^T-contraction @ k : contract the kv dim of both operands
+        dq_scratch[...] += jax.lax.dot_general(
+            dst.astype(k.dtype), k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    if causal:
-        last_needed = jnp.minimum(
-            num_kv_blocks - 1, ((iq + 1) * block_q - 1) // block_k)
-    else:
-        last_needed = num_kv_blocks - 1
-    last_valid = jnp.maximum((valid_len + block_k - 1) // block_k - 1, 0)
-    last_needed = jnp.minimum(last_needed, last_valid)
-
-    @pl.when(ikv == last_needed)
+    @pl.when(ikv == num_kv_blocks - 1)
     def _store():
         dq_ref[0, 0] = dq_scratch[...].astype(dq_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
-# dk/dv kernel: kv-major grid, accumulate over q blocks
+# dk/dv kernel: kv-major grid, transposed score space, accumulate over q
 # ---------------------------------------------------------------------------
 
 
@@ -217,29 +213,27 @@ def _dkv_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0][:, :1]
-        delta = delta_ref[0, 0][:, :1]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        lse = lse_ref[0, 0][:1]      # (1, BQ) fp32
+        delta = delta_ref[0, 0][:1]  # (1, BQ) fp32
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         if sm_scale != 1.0:
-            s *= sm_scale
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jk * block_k
-        mask = col_ids < valid_len
+            st *= sm_scale
+        kv_ids = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + jk * block_k
+        q_ids = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1) + iq * block_q
+        mask = kv_ids < valid_len
         if causal:
-            mask = jnp.logical_and(mask, col_ids <= row_ids)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)              # (BQ, BK)
-        # dv += p^T @ do
-        dv_scratch[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * sm_scale
-        # dk += ds^T @ q
-        dk_scratch[...] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            mask = jnp.logical_and(mask, kv_ids <= q_ids)
+        pt = jnp.where(mask, jnp.exp(st - lse), 0.0)            # (BK, BQ)
+        # dv += p^T @ do — already transposed, a natural contraction
+        dv_scratch[...] += jax.lax.dot(
+            pt.astype(do.dtype), do, preferred_element_type=jnp.float32)
+        dpt = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        dst = pt * (dpt - delta) * sm_scale
+        # dk += ds^T @ q — natural contraction in transposed space
+        dk_scratch[...] += jax.lax.dot(
+            dst.astype(q.dtype), q, preferred_element_type=jnp.float32)
 
     @pl.when(iq == num_q_blocks - 1)
     def _store():
@@ -284,8 +278,8 @@ def _forward_with_lse(q, k, v, kv_valid_len, causal, scale, block_q, block_k,
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES),
-                         lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, 8, block_q),
+                         lambda b, h, iq, ikv, vl: (b, h, 0, iq)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
@@ -298,7 +292,7 @@ def _forward_with_lse(q, k, v, kv_valid_len, causal, scale, block_q, block_k,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(qt.shape, q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq_pad, NUM_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, 8, sq_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -306,7 +300,7 @@ def _forward_with_lse(q, k, v, kv_valid_len, causal, scale, block_q, block_k,
         interpret=interpret,
     )(kv_valid_len, qt, kt, vt)
     out = out.transpose(0, 2, 1, 3)[:, :sq]
-    return out, lse  # lse stays (B, H, Sq_pad, LANES), lane-replicated
+    return out, lse  # lse is (B, H, 8, Sq_pad) fp32, sublane-replicated
 
 
 def _backward(q, k, v, out, lse, g, kv_valid_len, causal, scale, block_q,
@@ -321,11 +315,10 @@ def _backward(q, k, v, out, lse, g, kv_valid_len, causal, scale, block_q,
     qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q_p, k_p, v_p))
     dot = g_p.transpose(0, 2, 1, 3)
     ot = out_p.transpose(0, 2, 1, 3)
-    # D = rowsum(dO * O), lane-replicated to match the lse layout
-    delta = jnp.sum(dot.astype(jnp.float32) * ot.astype(jnp.float32),
-                    axis=-1)                                    # (B, H, Sq)
-    delta = jnp.broadcast_to(delta[..., None],
-                             delta.shape + (NUM_LANES,))
+    # delta = rowsum(dO * O) — sublane-replicated to the same (B, H, 8, S)
+    # row layout as lse so both stream as tiny (1, 1, 8, block_q) blocks
+    delta = jnp.sum(dot.astype(jnp.float32) * ot.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[:, :, None, :], (b, h, 8, sq_pad))
     nq, nkv = sq_pad // block_q, skv_pad // block_k
 
     dq_kernel = functools.partial(
@@ -339,10 +332,10 @@ def _backward(q, k, v, out, lse, g, kv_valid_len, causal, scale, block_q,
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ikv, vl: (b, h, ikv, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ikv, vl: (b, h, ikv, 0)),
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES),
-                         lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES),
-                         lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, 8, block_q),
+                         lambda b, h, iq, ikv, vl: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, 8, block_q),
+                         lambda b, h, iq, ikv, vl: (b, h, 0, iq)),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d),
                                lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
@@ -369,10 +362,10 @@ def _backward(q, k, v, out, lse, g, kv_valid_len, causal, scale, block_q,
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, jk, iq, vl: (b, h, jk, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, jk, iq, vl: (b, h, jk, 0)),
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, jk, iq, vl: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES),
-                         lambda b, h, jk, iq, vl: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES),
-                         lambda b, h, jk, iq, vl: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, 8, block_q),
+                         lambda b, h, jk, iq, vl: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, 8, block_q),
+                         lambda b, h, jk, iq, vl: (b, h, 0, iq)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, jk, iq, vl: (b, h, jk, 0)),
