@@ -163,6 +163,64 @@ def convert_mixtral(sd: Dict[str, np.ndarray], cfg) -> dict:
     return params
 
 
+def convert_qwen2_moe(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """HF Qwen2MoE weights -> the MoE decoder pytree
+    (llava/model/language_model/llava_qwen_moe.py via HF Qwen2MoeForCausalLM).
+
+    Attention carries qkv bias like Qwen2; the MLP is `mlp` with router
+    `gate.weight (E, H)`, per-expert `experts.N.{gate,up,down}_proj.weight`,
+    a shared expert of its own intermediate size, and a scalar sigmoid gate
+    `shared_expert_gate.weight (1, H)`.
+    """
+    sd = {k: v for k, v in sd.items()}
+    if any(k.startswith("model.embed_tokens") for k in sd):
+        sd = {re.sub(r"^model\.", "", k): v for k, v in sd.items()}
+    L, E = cfg.num_hidden_layers, cfg.num_local_experts
+    p = "layers.{}."
+    layers = {
+        "input_layernorm": _stack(sd, p + "input_layernorm.weight", L),
+        "post_attention_layernorm": _stack(sd, p + "post_attention_layernorm.weight", L),
+        "q_proj": _qkv_entry(sd, p + "self_attn.q_proj", L),
+        "k_proj": _qkv_entry(sd, p + "self_attn.k_proj", L),
+        "v_proj": _qkv_entry(sd, p + "self_attn.v_proj", L),
+        "o_proj": {"kernel": _stack(sd, p + "self_attn.o_proj.weight", L, transpose=True)},
+        "moe_gate": {"kernel": _stack(sd, p + "mlp.gate.weight", L,
+                                      transpose=True)},
+    }
+
+    def experts(w: str) -> np.ndarray:
+        out = np.stack([
+            np.stack([
+                np.asarray(sd[f"layers.{l}.mlp.experts.{e}.{w}.weight"])
+                for e in range(E)
+            ])
+            for l in range(L)
+        ]).astype(np.float32)
+        return out.transpose(0, 1, 3, 2)
+
+    layers["experts"] = {
+        "gate_proj": {"kernel": experts("gate_proj")},
+        "up_proj": {"kernel": experts("up_proj")},
+        "down_proj": {"kernel": experts("down_proj")},
+    }
+    layers["shared_expert"] = {
+        w: {"kernel": _stack(sd, p + f"mlp.shared_expert.{w}.weight", L,
+                             transpose=True)}
+        for w in ("gate_proj", "up_proj", "down_proj")
+    }
+    layers["shared_expert_gate"] = {
+        "kernel": _stack(sd, p + "mlp.shared_expert_gate.weight", L,
+                         transpose=True)}
+    params = {
+        "embed_tokens": sd["embed_tokens.weight"].astype(np.float32),
+        "layers": layers,
+        "norm": sd["norm.weight"].astype(np.float32),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = sd["lm_head.weight"].T.astype(np.float32)
+    return params
+
+
 def convert_qwen2(sd: Dict[str, np.ndarray], cfg) -> dict:
     """HF Qwen2 weights -> models/qwen2.py param pytree.
 

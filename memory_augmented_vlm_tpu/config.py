@@ -53,6 +53,12 @@ class LMConfig:
     # 0 experts = dense MLP; top-k routing with renormalized softmax weights
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
+    # Qwen2MoE variations (llava/model/language_model/llava_qwen_moe.py):
+    # routing weights are NOT renormalized over the top-k by default
+    # (HF norm_topk_prob=False), and a gated shared expert of its own
+    # intermediate size runs alongside the routed experts
+    moe_norm_topk_prob: bool = True
+    moe_shared_expert_size: int = 0   # 0 = no shared expert (Mixtral)
     # dtype used for activations on device (params may be kept in fp32 master copies)
     dtype: str = "bfloat16"
 

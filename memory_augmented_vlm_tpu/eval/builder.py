@@ -225,7 +225,13 @@ def load_pretrained_model(
     tower_sd = {k[len("model."):]: v for k, v in sd.items()
                 if k.startswith("model.vision_tower")}
     if cfg.lm.num_local_experts > 0:
-        lm_convert = hf_import.convert_mixtral
+        # Qwen2MoE uses `mlp.experts` key layout + shared expert; Mixtral
+        # uses `block_sparse_moe`
+        if cfg.lm.moe_shared_expert_size > 0 or any(
+                ".mlp.experts." in k for k in lm_sd):
+            lm_convert = hf_import.convert_qwen2_moe
+        else:
+            lm_convert = hf_import.convert_mixtral
     elif "mpt" in str(raw.get("model_type", "")).lower() or any(
             k.startswith(("transformer.wte", "model.transformer.wte"))
             for k in sd):

@@ -88,6 +88,16 @@ def init_params(cfg: LMConfig, key: jax.Array, dtype=jnp.float32):
             "up_proj": {"kernel": dense(ks[7], (L, E, H, I))},
             "down_proj": {"kernel": dense(ks[9], (L, E, I, H))},
         }
+        if cfg.moe_shared_expert_size > 0:
+            SI = cfg.moe_shared_expert_size
+            sk = jax.random.split(ks[9], 4)
+            params["layers"]["shared_expert"] = {
+                "gate_proj": {"kernel": dense(sk[0], (L, H, SI))},
+                "up_proj": {"kernel": dense(sk[1], (L, H, SI))},
+                "down_proj": {"kernel": dense(sk[2], (L, SI, H))},
+            }
+            params["layers"]["shared_expert_gate"] = {
+                "kernel": dense(sk[3], (L, H, 1))}
     else:
         if cfg.mlp_gated:
             params["layers"]["gate_proj"] = {"kernel": dense(ks[5], (L, H, I))}
@@ -183,9 +193,12 @@ def _dense_mlp(lp, x, act: str = "silu", gated: bool = True):
 
 
 def _moe_mlp(lp, x, cfg: "LMConfig"):
-    """Mixtral sparse-MoE block (HF MixtralSparseMoeBlock semantics):
-    fp32 softmax router, top-k selection, weights renormalized over the
-    selected experts, SwiGLU experts (w1=gate, w3=up, w2=down).
+    """Sparse-MoE block (HF MixtralSparseMoeBlock / Qwen2MoeSparseMoeBlock
+    semantics): fp32 softmax router, top-k selection, SwiGLU experts
+    (w1=gate, w3=up, w2=down). Mixtral renormalizes the top-k weights;
+    Qwen2MoE keeps the raw softmax probabilities (norm_topk_prob=False) and
+    adds a sigmoid-gated shared expert (llava_qwen_moe.py via HF
+    Qwen2MoeForCausalLM).
 
     TPU-native dispatch: experts are computed densely over a stacked
     (E, H, I) kernel and combined with the zero-masked routing weights —
@@ -197,8 +210,9 @@ def _moe_mlp(lp, x, cfg: "LMConfig"):
     logits = jnp.einsum("bsh,he->bse", x, lp["moe_gate"]["kernel"])
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     top_w, top_i = jax.lax.top_k(probs, k)
-    top_w = top_w / top_w.sum(axis=-1, keepdims=True)
-    # scatter the renormalized top-k weights back to a dense (B, S, E) map
+    if cfg.moe_norm_topk_prob:
+        top_w = top_w / top_w.sum(axis=-1, keepdims=True)
+    # scatter the top-k weights back to a dense (B, S, E) map
     weights = jnp.sum(
         jax.nn.one_hot(top_i, e, dtype=jnp.float32) * top_w[..., None], axis=-2
     ).astype(x.dtype)
@@ -206,7 +220,17 @@ def _moe_mlp(lp, x, cfg: "LMConfig"):
     up = jnp.einsum("bsh,ehi->bsei", x, lp["experts"]["up_proj"]["kernel"])
     act = jax.nn.silu(gate) * up
     out = jnp.einsum("bsei,eih->bseh", act, lp["experts"]["down_proj"]["kernel"])
-    return jnp.einsum("bseh,bse->bsh", out, weights)
+    out = jnp.einsum("bseh,bse->bsh", out, weights)
+    if cfg.moe_shared_expert_size > 0:
+        se = lp["shared_expert"]
+        shared = _proj(se["down_proj"],
+                       jax.nn.silu(_proj(se["gate_proj"], x))
+                       * _proj(se["up_proj"], x))
+        sgate = jax.nn.sigmoid(
+            jnp.einsum("bsh,ho->bso", x.astype(jnp.float32),
+                       lp["shared_expert_gate"]["kernel"].astype(jnp.float32)))
+        out = out + sgate.astype(x.dtype) * shared
+    return out
 
 
 def _layer_mlp(lp, x, act: str = "silu", cfg: Optional["LMConfig"] = None):

@@ -11,8 +11,10 @@ config fields / weight layouts each family uses:
   llava_mixtral  : Mixtral sparse MoE (ACTIVE in the reference registry,
                    model/__init__.py:7; llava_mixtral.py:1-143)
   llava_gemma    : Gemma (gelu MLP + embed scaling)
-  llava_qwen_moe : disabled in the reference (__init__.py:8 commented) —
-                   refused here with the same status
+  llava_qwen_moe : Qwen2MoE sparse MoE + gated shared expert (the wrapper
+                   exists at llava_qwen_moe.py:1-149 but is commented out
+                   of the reference registry, __init__.py:8; supported
+                   here as a config-flag variant)
   llava_mpt      : MPT (ALiBi, bias-free LayerNorm, ungated gelu MLP)
 """
 
@@ -48,8 +50,25 @@ def lm_config_for(model_type: str, raw: dict) -> LMConfig:
             **base,
         )
     if family in ("qwen_moe", "qwen2_moe"):
-        raise ValueError(f"{model_type} is disabled in the reference registry "
-                         "(llava/model/__init__.py:8) — not supported")
+        # disabled (commented out) in the reference registry
+        # (llava/model/__init__.py:8) but the wrapper exists
+        # (llava_qwen_moe.py) — supported here as a config-flag variant of
+        # the shared MoE decoder. HF Qwen2MoeConfig names:
+        # num_experts / moe_intermediate_size / shared_expert_intermediate_size
+        if raw.get("mlp_only_layers") or raw.get("decoder_sparse_step", 1) != 1:
+            raise NotImplementedError(
+                "qwen_moe with dense interleaved layers "
+                "(mlp_only_layers / decoder_sparse_step != 1) is not supported")
+        base["intermediate_size"] = raw.get("moe_intermediate_size", 1408)
+        return LMConfig(
+            attention_bias=True,
+            num_local_experts=raw.get("num_experts", 60),
+            num_experts_per_tok=raw.get("num_experts_per_tok", 4),
+            moe_norm_topk_prob=raw.get("norm_topk_prob", False),
+            moe_shared_expert_size=raw.get(
+                "shared_expert_intermediate_size", 5632),
+            **base,
+        )
     if family in ("llama", "mistral"):
         return LMConfig(attention_bias=False, **base)
     if family == "gemma":
@@ -92,7 +111,7 @@ AVAILABLE_MODELS = {
     "llava_llama": "supported",
     "llava_mistral": "supported",
     "llava_mixtral": "supported",
-    "llava_qwen_moe": "disabled in reference",
+    "llava_qwen_moe": "supported",
     "llava_gemma": "supported",
     "llava_mpt": "supported",
 }

@@ -43,6 +43,14 @@ def _lm_layer_rules() -> dict:
             "up_proj": {"kernel": P(None, "fsdp", None, "tp")},
             "down_proj": {"kernel": P(None, "fsdp", "tp", None)},
         },
+        # Qwen2MoE shared expert: a plain dense SwiGLU beside the routed
+        # experts (same layout as the dense MLP); the scalar gate replicates
+        "shared_expert": {
+            "gate_proj": {"kernel": P(None, "fsdp", "tp")},
+            "up_proj": {"kernel": P(None, "fsdp", "tp")},
+            "down_proj": {"kernel": P(None, "tp", "fsdp")},
+        },
+        "shared_expert_gate": {"kernel": P(None, "fsdp", None)},
     }
 
 
