@@ -28,7 +28,7 @@ NEG_INF = -1e30  # finite large-negative to avoid NaN from (-inf) - (-inf)
 #   "ours"   — our tiled Pallas backward (ops/pallas_flash_bwd.py)
 #   "intree" — jax.experimental in-tree differentiable flash kernel
 #   "xla"    — fused-XLA reference attention (materializes logits)
-TRAIN_ATTENTION_IMPL = "intree"
+TRAIN_ATTENTION_IMPL = "ours"
 
 
 def mha_attention(

@@ -11,8 +11,9 @@ Both passes compute the score tile TRANSPOSED (s_T = k @ q^T, shape
 (block_k, block_q)): in that orientation every matmul of the backward is a
 natural MXU contraction (dv = p_T @ dO, dk = ds_T @ q, dq = ds_T^T-contracted
 @ k) AND the per-row softmax statistics broadcast as (1, block_q) row
-vectors. That lets lse/delta stream as (B, H, S) arrays with (1, 1, block_q)
-blocks — ~2 KB per grid step instead of the lane-replicated (block_q, 128)
+vectors. That lets lse/delta stream as (B, H, 8, S) sublane-replicated
+arrays with (1, 1, 8, block_q) blocks (8 = min fp32 sublane tile) — ~16 KB
+per grid step instead of the lane-replicated (block_q, 128)
 fp32 buffers of the first version of this kernel (256 KB per step each,
 which dominated the dkv pass's HBM traffic and made it lose to the in-tree
 kernel; see PERFORMANCE.md round 3).
