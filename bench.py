@@ -28,6 +28,11 @@ from memory_augmented_vlm_tpu.config import VLMConfig
 from memory_augmented_vlm_tpu.models import qwen2, vlm
 
 A100_BASELINE_VISUAL_TOKENS_PER_S = 16500.0
+# 7B analytic baseline (same modeling): tower ~52 TF + 7B prefill over ~9.4k
+# tokens (2 * 7.6e9 * 9.4e3 ~ 143 TF) at 35% MFU on 312 TF/s bf16 ~ 1.79 s,
+# + 32 decode steps at ~12 ms/token (HBM-bound, 15.2 GB weights / 2 TB/s
+# with flash-attn-2 overheads) ~ 0.38 s => ~2.17 s => ~4.3k visual tokens/s
+A100_BASELINE_7B_VISUAL_TOKENS_PER_S = 4300.0
 
 NUM_FRAMES = 64
 MAX_NEW_TOKENS = 32
@@ -71,21 +76,90 @@ def build_pipeline(cfg: VLMConfig):
     return clip_to_answer, nseg
 
 
+def _init_lm_7b_int8(cfg_lm, key):
+    """Random 7B LM directly in serving load_8bit form.
+
+    The bf16 7B model (15.2 GB) cannot be materialized beside its int8 copy
+    on a 16 GB chip, so the dense layer kernels are generated as random int8
+    with a constant per-channel scale (0.02/127 => dequantized weights in
+    the same 0.02-std class as the bf16 init); embeddings / lm_head / norms
+    stay bf16 like `qwen2.prequantize_int8`."""
+    L, H, I = cfg_lm.num_hidden_layers, cfg_lm.hidden_size, cfg_lm.intermediate_size
+    NH, NKV, D = (cfg_lm.num_attention_heads, cfg_lm.num_key_value_heads,
+                  cfg_lm.head_dim)
+    ks = iter(jax.random.split(key, 12))
+
+    def ri8(shape):
+        return jax.random.randint(next(ks), shape, -127, 128, dtype=jnp.int8)
+
+    def q(shape, bias=False):
+        entry = {"kernel_int8": ri8(shape),
+                 "scale": jnp.full(shape[:1] + shape[2:], 0.02 / 127,
+                                   jnp.float32)}
+        if bias:
+            entry["bias"] = jnp.zeros(shape[:1] + shape[2:], jnp.bfloat16)
+        return entry
+
+    def dense(shape):
+        return (jax.random.normal(next(ks), shape) * 0.02).astype(jnp.bfloat16)
+
+    return {
+        "embed_tokens": dense((cfg_lm.vocab_size, H)),
+        "layers": {
+            "input_layernorm": jnp.ones((L, H), jnp.bfloat16),
+            "post_attention_layernorm": jnp.ones((L, H), jnp.bfloat16),
+            "q_proj": q((L, H, NH * D), bias=True),
+            "k_proj": q((L, H, NKV * D), bias=True),
+            "v_proj": q((L, H, NKV * D), bias=True),
+            "o_proj": q((L, NH * D, H)),
+            "gate_proj": q((L, H, I)),
+            "up_proj": q((L, H, I)),
+            "down_proj": q((L, I, H)),
+        },
+        "norm": jnp.ones((H,), jnp.bfloat16),
+        "lm_head": dense((H, cfg_lm.vocab_size)),
+    }
+
+
 def main():
+    import argparse
     import dataclasses
 
     from memory_augmented_vlm_tpu.models import siglip
 
-    cfg = VLMConfig.onevision_0_5b()
-    # serving config: frozen tower runs with static-scale prequantized int8
-    # weights on the int8 MXU (the reference's load_8bit capability,
-    # builder.py:30-34; measured 415 -> 345 ms for the 64-frame tower with
-    # output drift in the same 1e-2 class as bf16-MXU, PERFORMANCE.md)
-    cfg = dataclasses.replace(
-        cfg, pipeline=dataclasses.replace(cfg.pipeline, tower_int8=True))
-    params = vlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
-    params["vision_tower"] = siglip.prequantize_int8(params["vision_tower"])
-    pipeline, nseg = build_pipeline(cfg)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="0.5b", choices=["0.5b", "7b"])
+    args, _ = ap.parse_known_args()
+
+    if args.model == "7b":
+        # 7B headline geometry (BASELINE.json configs 3-5) in the load_8bit
+        # serving mode — bf16 7B weights (15.2 GB) don't leave headroom for
+        # the KV cache on one 16 GB v5e chip; int8 layer kernels (~7 GB) +
+        # bf16 embeddings/unembed (~2.2 GB) do.
+        cfg = VLMConfig.onevision_7b()
+        cfg = dataclasses.replace(
+            cfg, pipeline=dataclasses.replace(cfg.pipeline, tower_int8=True))
+        # init everything except the LM at a throwaway 1-layer depth (the
+        # int8 path is keyed purely off `kernel_int8` entries in the params)
+        shallow = dataclasses.replace(
+            cfg, lm=dataclasses.replace(cfg.lm, num_hidden_layers=1))
+        params = vlm.init_params(shallow, jax.random.key(0), dtype=jnp.bfloat16)
+        params["language_model"] = _init_lm_7b_int8(cfg.lm, jax.random.key(1))
+        params["vision_tower"] = siglip.prequantize_int8(params["vision_tower"])
+        pipeline, nseg = build_pipeline(cfg)
+        metric_name = "visual_tokens_per_s_64frame_clip_to_answer_7b_int8"
+    else:
+        cfg = VLMConfig.onevision_0_5b()
+        # serving config: frozen tower runs with static-scale prequantized int8
+        # weights on the int8 MXU (the reference's load_8bit capability,
+        # builder.py:30-34; measured 415 -> 345 ms for the 64-frame tower with
+        # output drift in the same 1e-2 class as bf16-MXU, PERFORMANCE.md)
+        cfg = dataclasses.replace(
+            cfg, pipeline=dataclasses.replace(cfg.pipeline, tower_int8=True))
+        params = vlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+        params["vision_tower"] = siglip.prequantize_int8(params["vision_tower"])
+        pipeline, nseg = build_pipeline(cfg)
+        metric_name = "visual_tokens_per_s_64frame_clip_to_answer_0.5b"
 
     rng = np.random.default_rng(0)
     pixels = jnp.asarray(rng.standard_normal((NUM_FRAMES, 384, 384, 3)), jnp.bfloat16)
@@ -108,7 +182,7 @@ def main():
     visual_tok_per_s = n_visual / latency
 
     print(json.dumps({
-        "metric": "visual_tokens_per_s_64frame_clip_to_answer_0.5b",
+        "metric": metric_name,
         "value": round(visual_tok_per_s, 1),
         "unit": "visual tokens/s",
         "vs_baseline": round(visual_tok_per_s / A100_BASELINE_VISUAL_TOKENS_PER_S, 3),

@@ -28,8 +28,16 @@ NUM_CLIPS = 8
 
 
 def main():
+    import dataclasses
+
+    from memory_augmented_vlm_tpu.models import siglip
+
     cfg = VLMConfig.onevision_0_5b()
+    # same serving config as the headline bench: int8 frozen tower
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, tower_int8=True))
     params = vlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+    params["vision_tower"] = siglip.prequantize_int8(params["vision_tower"])
     pipeline, _ = build_pipeline(cfg)
     fn = jax.jit(pipeline)
 
@@ -74,8 +82,31 @@ def main():
                 jax.block_until_ready(out)
         return time.perf_counter() - t0
 
+    def run_device_bound() -> float:
+        """Clip pipelining with pre-extracted tensors (the native-loader
+        serving path, tools/extract_frames.py): successive clips' whole
+        graphs are dispatched ASYNCHRONOUSLY so clip i+1's tower work is
+        already queued on-device while clip i prefills/decodes — the
+        single-chip realization of "the vision encoder never starves the
+        LM" (one chip serializes stages on the MXU, so overlap here means
+        zero host-sync gaps between clips; multi-chip splits stages across
+        the mesh instead). Queue depth 2 bounds live buffers."""
+        tensors = [jnp.asarray(processor.preprocess(c), jnp.bfloat16)
+                   for c in raw_clips]
+        jax.block_until_ready(tensors)
+        t0 = time.perf_counter()
+        inflight = []
+        results = []
+        for px in tensors:
+            inflight.append(fn(params, px, text_before, text_after)[0])
+            if len(inflight) > 2:
+                results.append(np.asarray(inflight.pop(0)))  # forced fetch
+        results.extend(np.asarray(r) for r in inflight)
+        return time.perf_counter() - t0
+
     t_serial = run(pipelined=False)
     t_piped = run(pipelined=True)
+    t_dev = run_device_bound()
     print(json.dumps({
         "metric": "pipelined_clip_throughput_64frame_0.5b",
         "value": round(NUM_CLIPS / t_piped, 3),
@@ -84,6 +115,8 @@ def main():
         "detail": {
             "serial_s_per_clip": round(t_serial / NUM_CLIPS, 3),
             "pipelined_s_per_clip": round(t_piped / NUM_CLIPS, 3),
+            "device_bound_clips_per_s": round(NUM_CLIPS / t_dev, 3),
+            "device_bound_s_per_clip": round(t_dev / NUM_CLIPS, 3),
             "clips": NUM_CLIPS,
         },
     }))

@@ -4,9 +4,10 @@ llava/model/multimodal_encoder/imagebind.py:1-73).
 The reference wraps `imagebind_model.imagebind_huge` and uses two paths:
   - vision: images -> trunk -> head -> ONE L2-normalized 1024-d embedding
     per image, returned as (B, 1, 1024) (imagebind.py:50-57);
-  - audio: precomputed mel clips -> audio trunk -> (B, 1, 1024)
-    (imagebind.py:44-48; the torchaudio mel transform is host-side data
-    prep, see `data/audio.py` notes).
+  - audio: mel clips -> audio trunk -> (B, 1, 1024) (imagebind.py:44-48;
+    the host-side mel transform `load_and_transform_audio_data` is
+    implemented in `data/audio.py` — clip sampling + Kaldi fbank +
+    ImageBind normalization).
 
 TPU-native rebuild: both trunks are pre-LN ViTs (packed-qkv attention, gelu
 MLP) sharing one `_trunk_forward`; the vision Conv3d patch stem over

@@ -21,7 +21,7 @@ tests/test_ppo_sft.py (fp32, rtol 1e-5).
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -43,8 +43,9 @@ class PPOConfig:
     cliprange: float = 0.2
     cliprange_value: float = 0.2
     vf_coef: float = 0.1
-    kl_penalty: str = "kl"        # kl | abs | mse ("full" needs (B,T,V)
-                                  # distributions — direct kl_penalty() use)
+    kl_penalty: str = "kl"        # kl | abs | mse | full ("full" uses the
+                                  # exact per-token KL computed at rollout
+                                  # time — PPOBatch.full_kls)
     init_kl_coef: float = 0.2
     adap_kl_ctrl: bool = True
     target: float = 6.0
@@ -162,15 +163,26 @@ def kl_penalty(logprob, ref_logprob, kind: str = "kl"):
 
 
 def compute_rewards(scores, logprobs, ref_logprobs, masks, kl_coef: float,
-                    kind: str = "kl"):
-    """scores (B,), logprobs/ref/masks (B, T) -> (rewards, non_score, kls)."""
+                    kind: str = "kl", full_kls=None):
+    """scores (B,), logprobs/ref/masks (B, T) -> (rewards, non_score, kls).
+
+    kind="full" (ppo_trainer.py:1079-1082) uses the exact per-token
+    KL(policy || ref): pass `full_kls` (B, T) precomputed at rollout time
+    via `response_full_kl` (identical math to storing the (B, T, V)
+    log-distributions like TRL and reducing here, without carrying
+    vocab-sized rollout tensors), or pass (B, T, V) log-distributions as
+    logprobs/ref_logprobs directly."""
     if kind == "full":
-        raise ValueError(
-            "kl_penalty='full' needs per-token (B, T, V) log-distributions; "
-            "the PPOBatch rollout stores realized-token logprobs only — use "
-            "kl/abs/mse here, or call kl_penalty(..., 'full') directly on "
-            "full distributions")
-    kls = kl_penalty(logprobs, ref_logprobs, kind)
+        if full_kls is not None:
+            kls = full_kls
+        elif logprobs.ndim == 3:
+            kls = kl_penalty(logprobs, ref_logprobs, "full")
+        else:
+            raise ValueError(
+                "kl_penalty='full' needs PPOBatch.full_kls (see "
+                "response_full_kl) or (B, T, V) log-distributions")
+    else:
+        kls = kl_penalty(logprobs, ref_logprobs, kind)
     non_score = -kl_coef * kls
     t = masks.shape[1]
     # last non-masked index per row
@@ -262,6 +274,9 @@ class PPOBatch(NamedTuple):
     old_values: jax.Array      # (B, T) rollout-time value predictions
     scores: jax.Array          # (B,) reward-model scalars
     ref_logprobs: jax.Array    # (B, T) frozen reference logprobs
+    # (B, T) exact per-token KL(policy || ref) computed at rollout time
+    # (response_full_kl); only consumed when kl_penalty == "full"
+    full_kls: Optional[jax.Array] = None
 
 
 def _response_logprobs(logits, input_ids, query_len, t_max):
@@ -279,6 +294,25 @@ def _response_logprobs(logits, input_ids, query_len, t_max):
     return lp, pred_rows, pos
 
 
+def response_full_kl(policy_logits, ref_logits, query_len, t_max):
+    """Exact per-token KL(policy || ref) over the response positions.
+
+    policy_logits/ref_logits: (B, S, V) rollout-time logits from the two
+    models; returns (B, T). Computing the scalar KL here (at rollout) and
+    carrying it in PPOBatch.full_kls reproduces TRL's kl_penalty="full"
+    (ppo_trainer.py:1079-1082: F.kl_div(ref, logprob, log_target=True)
+    .sum(-1) over stored full log-distributions) without materializing
+    (B, T, V) rollout tensors."""
+    b, s, _ = policy_logits.shape
+    pos = query_len[:, None] + jnp.arange(t_max)[None, :]
+    rows = jnp.clip(pos - 1, 0, s - 1)[..., None]
+    lp = jnp.take_along_axis(jax.nn.log_softmax(policy_logits, axis=-1),
+                             rows, axis=1)
+    ref_lp = jnp.take_along_axis(jax.nn.log_softmax(ref_logits, axis=-1),
+                                 rows, axis=1)
+    return kl_penalty(lp, ref_lp, "full")
+
+
 def make_ppo_train_step(cfg: VLMConfig, opt_cfg: OptimizerConfig,
                         ppo_cfg: PPOConfig):
     """One PPO optimization step over a rollout minibatch. The kl_coef is a
@@ -290,7 +324,8 @@ def make_ppo_train_step(cfg: VLMConfig, opt_cfg: OptimizerConfig,
 
         rewards, _, kls = compute_rewards(
             batch.scores, batch.old_logprobs, batch.ref_logprobs,
-            batch.response_mask, kl_coef, ppo_cfg.kl_penalty)
+            batch.response_mask, kl_coef, ppo_cfg.kl_penalty,
+            full_kls=batch.full_kls)
         values, advantages, returns = compute_advantages(
             batch.old_values, rewards, batch.response_mask, ppo_cfg)
 

@@ -298,3 +298,88 @@ def test_kl_penalty_full_matches_torch_kl_div():
     got = np.asarray(ppo.kl_penalty(
         jnp.asarray(logp.numpy()), jnp.asarray(logq.numpy()), "full"))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_full_kl_matches_trl_math():
+    """kl_penalty='full' == TRL ppo_trainer.py:1079-1082:
+    F.kl_div(ref_logprob, logprob, log_target=True, reduction='none').sum(-1)
+    over full log-distributions."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(7)
+    logits = rng.standard_normal((2, 5, 11)).astype(np.float32)
+    ref_logits = rng.standard_normal((2, 5, 11)).astype(np.float32)
+    lp = torch.log_softmax(torch.from_numpy(logits), dim=-1)
+    ref_lp = torch.log_softmax(torch.from_numpy(ref_logits), dim=-1)
+    want = F.kl_div(ref_lp, lp, log_target=True, reduction="none").sum(-1)
+    got = ppo.kl_penalty(
+        jax.nn.log_softmax(jnp.asarray(logits), axis=-1),
+        jax.nn.log_softmax(jnp.asarray(ref_logits), axis=-1), "full")
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_response_full_kl_alignment():
+    """response_full_kl must reduce the same rows _response_logprobs uses."""
+    rng = np.random.default_rng(8)
+    b, s, v, t = 2, 10, 7, 4
+    logits = jnp.asarray(rng.standard_normal((b, s, v)), jnp.float32)
+    ref = jnp.asarray(rng.standard_normal((b, s, v)), jnp.float32)
+    qlen = jnp.asarray([3, 5], jnp.int32)
+    got = ppo.response_full_kl(logits, ref, qlen, t)
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    rlp = jax.nn.log_softmax(ref, axis=-1)
+    want = np.zeros((b, t))
+    for i in range(b):
+        for j in range(t):
+            row = int(qlen[i]) + j - 1
+            p = np.exp(np.asarray(lp[i, row]))
+            want[i, j] = (p * np.asarray(lp[i, row] - rlp[i, row])).sum()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_ppo_train_step_full_kl_pipeline(tiny_policy):
+    """kl_penalty='full' end-to-end: rollout computes full_kls, the train
+    step consumes them through compute_rewards."""
+    cfg, params = tiny_policy
+    opt_cfg = OptimizerConfig(
+        learning_rate=1e-3, warmup_ratio=0.0,
+        mm_tunable_parts="mm_language_model,value_head")
+    ppo_cfg = ppo.PPOConfig(kl_penalty="full")
+    step_fn = jax.jit(ppo.make_ppo_train_step(cfg, opt_cfg, ppo_cfg))
+    optimizer = ppo.build_optimizer(params, opt_cfg)
+    state = TrainState(params, optimizer.init(params), jnp.asarray(0))
+
+    rng = np.random.default_rng(3)
+    b, s, t = 2, 16, 6
+    ids = jnp.asarray(rng.integers(0, 1000, size=(b, s)), jnp.int32)
+    qlen = jnp.asarray([8, 8], jnp.int32)
+    # rollout-time pass: policy logits (with value head) + a "ref" model
+    # (same weights, detached role) -> exact per-token KL
+    embeds = qwen2.embed_tokens(params["language_model"], ids, cfg.lm)
+    pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    logits, _ = ppo.forward_with_value(params, cfg, embeds, pos,
+                                       jnp.asarray([14, 14], jnp.int32))
+    ref_logits = logits + 0.01  # stand-in frozen reference
+    full_kls = ppo.response_full_kl(logits, ref_logits, qlen, t)
+    batch = ppo.PPOBatch(
+        input_ids=ids,
+        response_mask=jnp.ones((b, t), jnp.float32),
+        query_len=qlen,
+        seq_len=jnp.asarray([14, 14], jnp.int32),
+        old_logprobs=jnp.asarray(rng.standard_normal((b, t)) * 0.1, jnp.float32),
+        old_values=jnp.asarray(rng.standard_normal((b, t)) * 0.1, jnp.float32),
+        scores=jnp.asarray([1.0, -0.5], jnp.float32),
+        ref_logprobs=jnp.asarray(rng.standard_normal((b, t)) * 0.1, jnp.float32),
+        full_kls=full_kls,
+    )
+    new_state, stats = step_fn(state, batch, jnp.asarray(0.2, jnp.float32))
+    assert np.isfinite(float(stats["loss/total"]))
+    # the objective KL must equal the masked mean of the rollout full KLs
+    np.testing.assert_allclose(
+        float(stats["objective_kl"]), float(full_kls.mean()), rtol=1e-5)
+    # and omitting full_kls with kind='full' raises
+    with pytest.raises(ValueError):
+        ppo.compute_rewards(batch.scores, batch.old_logprobs,
+                            batch.ref_logprobs, batch.response_mask, 0.2,
+                            "full")
