@@ -12,8 +12,9 @@
                                        open_clip naming converter
   "imagebind_huge"                  -> ImageBind (imagebind.py:1-73)
   path exists / openai / laion      -> CLIP (or CLIP-S2 when s2=True)
-  EVA-CLIP trees                    -> disabled in the reference too
-                                       (builder.py:36-39)
+  "eva" in name                     -> EVA-CLIP ViT (eva_clip.py) — the
+                                       reference ships the tree but comments
+                                       the dispatch out (builder.py:36-39)
 
 Each tower is a `VisionTower` record carrying the forward fn plus init /
 HF-import callables, so the VLM spine (models/vlm.py `encode_frames`,
@@ -78,6 +79,29 @@ def build_vision_tower(vision_tower_name: str, *, s2: bool = False,
             image_size=cfg.image_size,
             init_params=lambda key, dtype: mlcd_mod.init_params(cfg, key, dtype),
             convert_hf=lambda sd: mlcd_mod.convert_hf(sd, cfg),
+        )
+    if "eva" in name:
+        # reference builder.py:36-39 ("internal-eva"/"eva02" ->
+        # EvaClipVisionTower, "EVA-CLIP-8B[-plus]" -> EvaViTWrapper) — the
+        # branches are commented out there but the tree ships in full
+        from memory_augmented_vlm_tpu.models import eva_clip as eva_mod
+
+        if isinstance(vision_config, eva_mod.EvaVisionConfig):
+            cfg = vision_config
+        else:
+            key = next((k for k in eva_mod.MODEL_CONFIGS
+                        if k.lower() in name), "EVA02-CLIP-L-14-336")
+            cfg = eva_mod.EvaVisionConfig.from_vision_cfg(
+                eva_mod.MODEL_CONFIGS[key])
+        return VisionTower(
+            family="eva_clip",
+            config=cfg,
+            forward=lambda params, pixels: eva_mod.forward(params, cfg, pixels),
+            hidden_size=cfg.width,
+            num_patches_per_side=cfg.hw,
+            image_size=cfg.image_size,
+            init_params=lambda key, dtype: eva_mod.init_params(cfg, key, dtype),
+            convert_hf=lambda sd: eva_mod.convert_eva_state_dict(sd, cfg),
         )
     if "open_clip" in name:
         from memory_augmented_vlm_tpu.models import open_clip as oc_mod
