@@ -135,12 +135,30 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
         v = _linear(lp["v_proj"], x, int8).reshape(b, s, nh, hd)
         attn = mha_attention(q, k, v).reshape(b, s, h)
         hidden = residual + _linear(lp["out_proj"], attn, int8)
-        residual = hidden
-        x = layer_norm(hidden, lp["layer_norm2"]["weight"], lp["layer_norm2"]["bias"],
-                       cfg.layer_norm_eps)
-        x = _linear(lp["fc1"], x, int8)
-        x = jax.nn.gelu(x, approximate=True)  # gelu_pytorch_tanh
-        hidden = residual + _linear(lp["fc2"], x, int8)
+        if "kernel_int8" in lp["fc1"] and jax.default_backend() == "tpu" \
+                and b * s >= 256:
+            # whole MLP half-block in one Pallas pass (layernorm + quant +
+            # fc1 + gelu + requant + fc2 + residual): HBM traffic collapses
+            # to one read/write of the hidden state and both matmuls run in
+            # the int8 MXU mode (ops/pallas_mlp_int8.py)
+            from memory_augmented_vlm_tpu.ops.pallas_mlp_int8 import (
+                fused_mlp_block_int8,
+            )
+
+            hidden = fused_mlp_block_int8(
+                hidden.reshape(b * s, h),
+                lp["layer_norm2"]["weight"], lp["layer_norm2"]["bias"],
+                lp["fc1"]["kernel_int8"], lp["fc1"]["scale"], lp["fc1"]["bias"],
+                lp["fc2"]["kernel_int8"], lp["fc2"]["scale"], lp["fc2"]["bias"],
+                eps=cfg.layer_norm_eps,
+            ).reshape(b, s, h)
+        else:
+            residual = hidden
+            x = layer_norm(hidden, lp["layer_norm2"]["weight"],
+                           lp["layer_norm2"]["bias"], cfg.layer_norm_eps)
+            x = _linear(lp["fc1"], x, int8)
+            x = jax.nn.gelu(x, approximate=True)  # gelu_pytorch_tanh
+            hidden = residual + _linear(lp["fc2"], x, int8)
         return hidden, None
 
     if remat:

@@ -1,0 +1,208 @@
+"""Fused int8 MLP kernel: fc1 -> gelu(tanh) -> requantize -> fc2 in ONE
+Pallas pass with both weight matrices VMEM-resident.
+
+Why: the int8 MXU mode runs at ~349 TF/s inside Pallas kernels at tower
+shapes, but a chain of separate int8 matmuls is bound by the inter-op HBM
+round trips (write bf16 intermediate + read back + re-quantize => measured
+171 TF/s effective for the dependent fc1/fc2 chain, PERFORMANCE.md round 3).
+Fusing the whole MLP keeps the (bm, I) intermediate in VMEM: per m-tile
+
+  acc1 = xq @ W1 (int8 x int8 -> s32)       h = gelu(acc1 * sx * s1 + b1)
+  hq, sh = row-quant(h)                     out = (hq @ W2) * sh * s2 + b2
+
+The only HBM traffic is the int8 activations in, the bf16 output out, and
+the two weight matrices ONCE (grid iterates m; weight blocks are constant).
+Replaces the two `int8_linear` calls on the SigLIP tower's quantized MLP
+path (reference hot loop: siglip_encoder.py:577-590; load_8bit
+builder.py:30-34).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from memory_augmented_vlm_tpu.ops.pallas_int8 import quantize_rows
+
+
+def _fused_mlp_kernel(xq_ref, sx_ref, w1_ref, s1_ref, b1_ref,
+                      w2_ref, s2_ref, b2_ref, out_ref):
+    acc1 = jax.lax.dot_general(
+        xq_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                  # (BM, I) s32
+    h = acc1.astype(jnp.float32) * sx_ref[...] * s1_ref[...] + b1_ref[...]
+    h = jax.nn.gelu(h, approximate=True)                   # gelu_pytorch_tanh
+    # per-row requantization (full row is resident: I == block width)
+    sh = jnp.maximum(jnp.max(jnp.abs(h), axis=1, keepdims=True),
+                     1e-12) / 127.0
+    hq = jnp.clip(jnp.round(h * (1.0 / sh)), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot_general(
+        hq, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                  # (BM, K) s32
+    out = acc2.astype(jnp.float32) * sh * s2_ref[...] + b2_ref[...]
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
+def fused_mlp_int8(
+    x: jax.Array,       # (M, K) bf16/f32
+    w1_int8: jax.Array,  # (K, I) int8
+    s1: jax.Array,       # (I,) f32 per-output-channel scale
+    b1: jax.Array,       # (I,)
+    w2_int8: jax.Array,  # (I, K) int8
+    s2: jax.Array,       # (K,) f32
+    b2: jax.Array,       # (K,)
+    *,
+    block_m: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    m, k = x.shape
+    i = w1_int8.shape[1]
+    block_m = min(block_m, max(((m + 7) // 8) * 8, 8))
+    mp = ((m + block_m - 1) // block_m) * block_m
+    xq, sx = quantize_rows(x)
+    if mp != m:
+        xq = jnp.pad(xq, ((0, mp - m), (0, 0)))
+        sx = jnp.pad(sx, ((0, mp - m), (0, 0)), constant_values=1.0)
+    out = pl.pallas_call(
+        _fused_mlp_kernel,
+        grid=(mp // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, k), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, i), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((i, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, k), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, k), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(xq, sx,
+      w1_int8, s1.reshape(1, -1).astype(jnp.float32),
+      b1.reshape(1, -1).astype(jnp.float32),
+      w2_int8, s2.reshape(1, -1).astype(jnp.float32),
+      b2.reshape(1, -1).astype(jnp.float32))
+    return out[:m]
+
+
+def _fused_block_kernel(hid_ref, lnw_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
+                        w2_ref, s2_ref, b2_ref, out_ref, *, eps):
+    hid = hid_ref[...].astype(jnp.float32)                 # (BM, K)
+    mu = jnp.mean(hid, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(hid - mu), axis=1, keepdims=True)
+    x = (hid - mu) * jax.lax.rsqrt(var + eps) * lnw_ref[...] + lnb_ref[...]
+    sx = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True),
+                     1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x * (1.0 / sx)), -127, 127).astype(jnp.int8)
+    acc1 = jax.lax.dot_general(
+        xq, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    h = acc1.astype(jnp.float32) * sx * s1_ref[...] + b1_ref[...]
+    h = jax.nn.gelu(h, approximate=True)
+    sh = jnp.maximum(jnp.max(jnp.abs(h), axis=1, keepdims=True),
+                     1e-12) / 127.0
+    hq = jnp.clip(jnp.round(h * (1.0 / sh)), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot_general(
+        hq, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    mlp = acc2.astype(jnp.float32) * sh * s2_ref[...] + b2_ref[...]
+    out_ref[...] = (hid + mlp).astype(out_ref.dtype)       # residual add
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block_m", "interpret"))
+def fused_mlp_block_int8(
+    hidden: jax.Array,   # (M, K) bf16/f32 — PRE-layernorm residual stream
+    ln_w: jax.Array,     # (K,)
+    ln_b: jax.Array,     # (K,)
+    w1_int8: jax.Array,  # (K, I) int8
+    s1: jax.Array, b1: jax.Array,
+    w2_int8: jax.Array,  # (I, K) int8
+    s2: jax.Array, b2: jax.Array,
+    *,
+    eps: float = 1e-6,
+    block_m: int = 128,   # 256 exceeds the 16 MB VMEM budget beside the
+                          # resident W1+W2 (~10 MB) at tower shapes
+    interpret: bool = False,
+) -> jax.Array:
+    """The whole transformer MLP half-block in one kernel:
+    hidden + fc2(requant(gelu(fc1(quant(LN(hidden)))))). HBM traffic is one
+    read and one write of the (M, K) hidden state — the layernorm, both
+    quantizations, the (BM, I) intermediate, and the residual add all stay
+    in VMEM."""
+    m, k = hidden.shape
+    i = w1_int8.shape[1]
+    block_m = min(block_m, max(((m + 7) // 8) * 8, 8))
+    mp = ((m + block_m - 1) // block_m) * block_m
+    hp = jnp.pad(hidden, ((0, mp - m), (0, 0))) if mp != m else hidden
+    kern = functools.partial(_fused_block_kernel, eps=eps)
+    out = pl.pallas_call(
+        kern,
+        grid=(mp // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, k), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, i), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((i, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, k), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, k), hidden.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(hp,
+      ln_w.reshape(1, -1).astype(jnp.float32),
+      ln_b.reshape(1, -1).astype(jnp.float32),
+      w1_int8, s1.reshape(1, -1).astype(jnp.float32),
+      b1.reshape(1, -1).astype(jnp.float32),
+      w2_int8, s2.reshape(1, -1).astype(jnp.float32),
+      b2.reshape(1, -1).astype(jnp.float32))
+    return out[:m]
+
+
+def fused_mlp_block_int8_reference(hidden, ln_w, ln_b, w1_int8, s1, b1,
+                                   w2_int8, s2, b2, eps=1e-6):
+    """jnp oracle with identical math (CPU fallback + tests)."""
+    hf = hidden.astype(jnp.float32)
+    mu = jnp.mean(hf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(hf - mu), axis=-1, keepdims=True)
+    x = (hf - mu) * jax.lax.rsqrt(var + eps) * ln_w[None, :] + ln_b[None, :]
+    mlp = fused_mlp_int8_reference(x, w1_int8, s1, b1, w2_int8, s2, b2)
+    return (hf + mlp.astype(jnp.float32)).astype(hidden.dtype)
+
+
+def fused_mlp_int8_reference(x, w1_int8, s1, b1, w2_int8, s2, b2):
+    """jnp oracle with identical quantization math (CPU fallback + tests)."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                     1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int32)
+    h = (xq @ w1_int8.astype(jnp.int32)).astype(jnp.float32) * sx \
+        * s1[None, :] + b1[None, :]
+    h = jax.nn.gelu(h, approximate=True)
+    sh = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True),
+                     1e-12) / 127.0
+    hq = jnp.clip(jnp.round(h / sh), -127, 127).astype(jnp.int32)
+    out = (hq @ w2_int8.astype(jnp.int32)).astype(jnp.float32) * sh \
+        * s2[None, :] + b2[None, :]
+    return out.astype(x.dtype)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 
 
@@ -96,6 +97,13 @@ def int8_linear(p: dict, x: jax.Array) -> jax.Array:
     int8 x int8 -> int32 MXU matmul + rescale (+ optional bias).
 
     p: {"kernel_int8": (K, N) int8, "scale": (N,) f32, optional "bias"}.
+
+    Stays on the XLA dot: the Pallas weights-stationary single matmul
+    measured EQUAL to XLA in a dependent chain (163.6 vs 171.6 TF/s — the
+    chain is bound by the inter-matmul HBM round trips, not the MXU rate,
+    PERFORMANCE.md round 3) and slower end-to-end (fusion breaks). The int8
+    MXU headroom is harvested by the fused-MLP kernel instead
+    (ops/pallas_mlp_int8.py).
     """
     import jax.numpy as jnp
 

@@ -39,3 +39,74 @@ def test_weight_quantization_roundtrip():
     assert wq.dtype == jnp.int8 and sw.shape == (16,)
     recon = np.asarray(wq, np.float32) * np.asarray(sw)[None, :]
     assert np.abs(recon - w).max() <= np.asarray(sw).max() * 0.5 + 1e-6
+
+
+def test_fused_mlp_matches_oracle_interpret():
+    from memory_augmented_vlm_tpu.ops.pallas_mlp_int8 import (
+        fused_mlp_int8,
+        fused_mlp_int8_reference,
+    )
+
+    rng = np.random.default_rng(3)
+    m, k, i = 100, 64, 128
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    w1 = rng.standard_normal((k, i)).astype(np.float32) * 0.1
+    w2 = rng.standard_normal((i, k)).astype(np.float32) * 0.1
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    b1 = jnp.asarray(rng.standard_normal(i) * 0.01, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(k) * 0.01, jnp.float32)
+    out = fused_mlp_int8(x, w1q, s1, b1, w2q, s2, b2, block_m=32,
+                         interpret=True)
+    ref = fused_mlp_int8_reference(x, w1q, s1, b1, w2q, s2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_mlp_close_to_float():
+    """Double int8 quantization drift stays in the same class as two
+    independent int8 matmuls."""
+    from memory_augmented_vlm_tpu.ops.pallas_mlp_int8 import (
+        fused_mlp_int8_reference,
+    )
+
+    rng = np.random.default_rng(4)
+    m, k, i = 64, 48, 96
+    x = jnp.asarray(rng.standard_normal((m, k)) * 0.5, jnp.float32)
+    w1 = rng.standard_normal((k, i)).astype(np.float32) * 0.05
+    w2 = rng.standard_normal((i, k)).astype(np.float32) * 0.05
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    b1 = np.zeros(i, np.float32)
+    b2 = np.zeros(k, np.float32)
+    got = np.asarray(fused_mlp_int8_reference(
+        x, w1q, s1, jnp.asarray(b1), w2q, s2, jnp.asarray(b2)))
+    h = jax.nn.gelu(np.asarray(x) @ w1, approximate=True)
+    want = np.asarray(h) @ w2
+    rel = np.abs(got - want).mean() / np.abs(want).mean()
+    assert rel < 0.05, rel
+
+
+def test_fused_mlp_block_matches_oracle_interpret():
+    from memory_augmented_vlm_tpu.ops.pallas_mlp_int8 import (
+        fused_mlp_block_int8,
+        fused_mlp_block_int8_reference,
+    )
+
+    rng = np.random.default_rng(5)
+    m, k, i = 72, 64, 128
+    hidden = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    w1 = rng.standard_normal((k, i)).astype(np.float32) * 0.1
+    w2 = rng.standard_normal((i, k)).astype(np.float32) * 0.1
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    b1 = jnp.asarray(rng.standard_normal(i) * 0.01, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(k) * 0.01, jnp.float32)
+    lnw = jnp.asarray(1.0 + rng.standard_normal(k) * 0.05, jnp.float32)
+    lnb = jnp.asarray(rng.standard_normal(k) * 0.02, jnp.float32)
+    out = fused_mlp_block_int8(hidden, lnw, lnb, w1q, s1, b1, w2q, s2, b2,
+                               block_m=32, interpret=True)
+    ref = fused_mlp_block_int8_reference(hidden, lnw, lnb, w1q, s1, b1,
+                                         w2q, s2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
