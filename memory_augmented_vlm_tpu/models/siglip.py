@@ -115,7 +115,8 @@ def embed_patches(params, cfg: VisionConfig, pixel_values: jax.Array) -> jax.Arr
 
 
 def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
-            remat: bool = False, int8: bool = False) -> jax.Array:
+            remat: bool = False, int8: bool = False,
+            fused_mlp: bool = False) -> jax.Array:
     """Vision tower forward: (B, H, W, C) pixels -> (B, 729, 1152) features.
 
     `int8=True` routes the projections through the quantized MXU path
@@ -133,14 +134,34 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
         q = _linear(lp["q_proj"], x, int8).reshape(b, s, nh, hd)
         k = _linear(lp["k_proj"], x, int8).reshape(b, s, nh, hd)
         v = _linear(lp["v_proj"], x, int8).reshape(b, s, nh, hd)
-        attn = mha_attention(q, k, v).reshape(b, s, h)
+        if jax.default_backend() == "tpu" and b * s >= 4096:
+            # One-pass Pallas flash attention per (frame, head): the XLA
+            # path materializes the (B, NH, 729, 729) score tensor through
+            # HBM ~3x per layer (~3.3 GB at 64 frames — the single largest
+            # HBM stream in the tower); keeping scores VMEM-resident
+            # measured 2.66 ms vs ~6 ms per layer at 64-frame shapes.
+            # block 768 = 729 rounded up to the lane multiple, so softmax
+            # runs in one kv step (no running rescale).
+            from memory_augmented_vlm_tpu.ops.pallas_flash import (
+                pallas_flash_attention,
+            )
+
+            blk = min(-(-s // 128) * 128, 1024)
+            attn = pallas_flash_attention(
+                q, k, v, causal=False, block_q=blk, block_k=blk,
+            ).reshape(b, s, h)
+        else:
+            attn = mha_attention(q, k, v).reshape(b, s, h)
         hidden = residual + _linear(lp["out_proj"], attn, int8)
         if "kernel_int8" in lp["fc1"] and jax.default_backend() == "tpu" \
-                and b * s >= 256:
+                and b * s >= 256 and fused_mlp:
             # whole MLP half-block in one Pallas pass (layernorm + quant +
-            # fc1 + gelu + requant + fc2 + residual): HBM traffic collapses
-            # to one read/write of the hidden state and both matmuls run in
-            # the int8 MXU mode (ops/pallas_mlp_int8.py)
+            # fc1 + gelu + requant + fc2 + residual) on the int8 MXU
+            # (ops/pallas_mlp_int8.py). Wins the standalone microbench
+            # (3.6 vs 5.7 ms) but measures as a WASH in-context (the XLA
+            # int8 chain overlaps to ~4.0 ms/layer inside the full tower
+            # graph, ablated in PERFORMANCE.md round 3) — so the default
+            # stays off; the kernel remains available for A/B runs.
             from memory_augmented_vlm_tpu.ops.pallas_mlp_int8 import (
                 fused_mlp_block_int8,
             )
