@@ -116,16 +116,27 @@ def embed_patches(params, cfg: VisionConfig, pixel_values: jax.Array) -> jax.Arr
 
 def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
             remat: bool = False, int8: bool = False,
-            fused_mlp: bool = False) -> jax.Array:
+            fused_mlp: bool = False, use_flash=None,
+            _interpret: bool = False) -> jax.Array:
     """Vision tower forward: (B, H, W, C) pixels -> (B, 729, 1152) features.
 
     `int8=True` routes the projections through the quantized MXU path
     (ops/quant.py) — the reference's load_8bit equivalent for the frozen
-    tower."""
+    tower. `use_flash`/`_interpret` override the TPU flash-attention
+    auto-gate (tests exercise the padded stream in interpret mode)."""
     hidden = embed_patches(params, cfg, pixel_values)
-    b, s, h = hidden.shape
+    b, s0, h = hidden.shape
     nh = cfg.num_attention_heads
     hd = h // nh
+
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu" and b * s0 >= 4096
+    # NOTE: padding the whole residual stream to the lane multiple once
+    # (729 -> 768) instead of per-layer inside the flash wrapper was
+    # measured WORSE (341.7 vs 331.6 ms tower): every projection/MLP matmul
+    # pays +5% pad rows, while XLA already fuses the per-layer pads into
+    # the flash-boundary transposes for free. Keep s == num_patches.
+    s = s0
 
     def layer_body(hidden, lp):
         residual = hidden
@@ -134,7 +145,7 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
         q = _linear(lp["q_proj"], x, int8).reshape(b, s, nh, hd)
         k = _linear(lp["k_proj"], x, int8).reshape(b, s, nh, hd)
         v = _linear(lp["v_proj"], x, int8).reshape(b, s, nh, hd)
-        if jax.default_backend() == "tpu" and b * s >= 4096:
+        if use_flash:
             # One-pass Pallas flash attention per (frame, head): the XLA
             # path materializes the (B, NH, 729, 729) score tensor through
             # HBM ~3x per layer (~3.3 GB at 64 frames — the single largest
@@ -149,6 +160,7 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
             blk = min(-(-s // 128) * 128, 1024)
             attn = pallas_flash_attention(
                 q, k, v, causal=False, block_q=blk, block_k=blk,
+                interpret=_interpret,
             ).reshape(b, s, h)
         else:
             attn = mha_attention(q, k, v).reshape(b, s, h)

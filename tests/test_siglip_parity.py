@@ -91,3 +91,18 @@ def test_image_processor_matches_reference_semantics():
     ref = (ref / 255.0 - 0.5) / 0.5
     np.testing.assert_allclose(got[0], ref, rtol=1e-6, atol=1e-6)
     assert got.min() >= -1.0 - 1e-6 and got.max() <= 1.0 + 1e-6
+
+
+def test_tower_flash_padded_stream_matches_xla_path(tiny_siglip):
+    """The TPU flash path pads the whole residual stream to the lane multiple
+    once (729->768 at full size; 16->128 here) and masks attention back to
+    the true patch count via kv_valid_len. Interpret mode pins that the
+    first s0 rows are (tolerance-)identical to the unpadded XLA path."""
+    _, cfg, params = tiny_siglip
+    rng = np.random.default_rng(1)
+    pixels = jnp.asarray(rng.standard_normal((2, 56, 56, 3)), jnp.float32)
+    ref = np.asarray(siglip.forward(params, cfg, pixels, use_flash=False))
+    got = np.asarray(
+        siglip.forward(params, cfg, pixels, use_flash=True, _interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
