@@ -116,7 +116,7 @@ def embed_patches(params, cfg: VisionConfig, pixel_values: jax.Array) -> jax.Arr
 
 def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
             remat: bool = False, int8: bool = False,
-            fused_mlp: bool = False, use_flash=None,
+            fused_mlp: bool = False, fused_qkv: bool = True, use_flash=None,
             _interpret: bool = False) -> jax.Array:
     """Vision tower forward: (B, H, W, C) pixels -> (B, 729, 1152) features.
 
@@ -140,30 +140,73 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
 
     def layer_body(hidden, lp):
         residual = hidden
-        x = layer_norm(hidden, lp["layer_norm1"]["weight"], lp["layer_norm1"]["bias"],
-                       cfg.layer_norm_eps)
-        q = _linear(lp["q_proj"], x, int8).reshape(b, s, nh, hd)
-        k = _linear(lp["k_proj"], x, int8).reshape(b, s, nh, hd)
-        v = _linear(lp["v_proj"], x, int8).reshape(b, s, nh, hd)
-        if use_flash:
-            # One-pass Pallas flash attention per (frame, head): the XLA
-            # path materializes the (B, NH, 729, 729) score tensor through
-            # HBM ~3x per layer (~3.3 GB at 64 frames — the single largest
-            # HBM stream in the tower); keeping scores VMEM-resident
-            # measured 2.66 ms vs ~6 ms per layer at 64-frame shapes.
-            # block 768 = 729 rounded up to the lane multiple, so softmax
-            # runs in one kv step (no running rescale).
+        blk = min(-(-s // 128) * 128, 1024)
+        if use_flash and fused_qkv and "kernel_int8" in lp["q_proj"]:
+            # LN + row-quant + the three int8 projections fused into one
+            # Pallas pass that emits q/k/v HEAD-MAJOR — the flash kernel's
+            # native block layout — so the per-layer HBM transposes (and
+            # the LN/quant round-trips) disappear (ops/pallas_qkv_int8.py).
+            # Default ON for the int8 TPU tower: measured 296.8 vs 332.1 ms
+            # for the 64-frame tower (PERFORMANCE.md round 3).
             from memory_augmented_vlm_tpu.ops.pallas_flash import (
                 pallas_flash_attention,
             )
+            from memory_augmented_vlm_tpu.ops.pallas_qkv_int8 import (
+                fused_qkv_int8,
+            )
 
-            blk = min(-(-s // 128) * 128, 1024)
-            attn = pallas_flash_attention(
-                q, k, v, causal=False, block_q=blk, block_k=blk,
-                interpret=_interpret,
-            ).reshape(b, s, h)
+            q, k, v = fused_qkv_int8(
+                hidden,
+                lp["layer_norm1"]["weight"], lp["layer_norm1"]["bias"],
+                lp["q_proj"]["kernel_int8"], lp["q_proj"]["scale"],
+                lp["q_proj"]["bias"],
+                lp["k_proj"]["kernel_int8"], lp["k_proj"]["scale"],
+                lp["k_proj"]["bias"],
+                lp["v_proj"]["kernel_int8"], lp["v_proj"]["scale"],
+                lp["v_proj"]["bias"],
+                nh=nh, eps=cfg.layer_norm_eps, interpret=_interpret,
+            )
+            # pad rows from the QKV kernel are masked out of the keys
+            kv_valid = jnp.full((b,), s, jnp.int32)
+            if q.shape[2] <= 1024:
+                # merged-head store: attention output lands directly in
+                # residual-stream layout, no (B,NH,S,D) HBM round-trip
+                from memory_augmented_vlm_tpu.ops.pallas_flash import (
+                    flash_attention_merge_heads,
+                )
+
+                attn = flash_attention_merge_heads(
+                    q, k, v, kv_valid, interpret=_interpret)[:, :s]
+            else:
+                attn = pallas_flash_attention(
+                    q, k, v, causal=False, kv_valid_len=kv_valid,
+                    block_q=blk, block_k=blk, interpret=_interpret,
+                    layout="bhsd",
+                )[:, :, :s].transpose(0, 2, 1, 3).reshape(b, s, h)
         else:
-            attn = mha_attention(q, k, v).reshape(b, s, h)
+            x = layer_norm(hidden, lp["layer_norm1"]["weight"],
+                           lp["layer_norm1"]["bias"], cfg.layer_norm_eps)
+            q = _linear(lp["q_proj"], x, int8).reshape(b, s, nh, hd)
+            k = _linear(lp["k_proj"], x, int8).reshape(b, s, nh, hd)
+            v = _linear(lp["v_proj"], x, int8).reshape(b, s, nh, hd)
+            if use_flash:
+                # One-pass Pallas flash attention per (frame, head): the XLA
+                # path materializes the (B, NH, 729, 729) score tensor
+                # through HBM ~3x per layer (~3.3 GB at 64 frames — the
+                # single largest HBM stream in the tower); keeping scores
+                # VMEM-resident measured 2.66 vs ~6 ms per layer at 64-frame
+                # shapes. block 768 = 729 rounded up to the lane multiple,
+                # so softmax runs in one kv step (no running rescale).
+                from memory_augmented_vlm_tpu.ops.pallas_flash import (
+                    pallas_flash_attention,
+                )
+
+                attn = pallas_flash_attention(
+                    q, k, v, causal=False, block_q=blk, block_k=blk,
+                    interpret=_interpret,
+                ).reshape(b, s, h)
+            else:
+                attn = mha_attention(q, k, v).reshape(b, s, h)
         hidden = residual + _linear(lp["out_proj"], attn, int8)
         if "kernel_int8" in lp["fc1"] and jax.default_backend() == "tpu" \
                 and b * s >= 256 and fused_mlp:

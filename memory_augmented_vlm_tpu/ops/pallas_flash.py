@@ -121,22 +121,37 @@ def _flash_fwd_kernel(
 
 
 def _pallas_forward(q, k, v, kv_valid_len, causal, scale, block_q, block_k,
-                    interpret):
-    b, sq, h, d = q.shape
-    skv = k.shape[1]
+                    interpret, layout="bshd"):
+    if layout == "bhsd":
+        # caller already supplies head-major tensors (e.g. the fused int8
+        # QKV kernel, ops/pallas_qkv_int8.py) — no HBM transposes needed
+        b, h, sq, d = q.shape
+        skv = k.shape[2]
+    else:
+        b, sq, h, d = q.shape
+        skv = k.shape[1]
     block_q = min(block_q, max(sq, 128))
     block_k = min(block_k, max(skv, 128))
     sq_pad = ((sq + block_q - 1) // block_q) * block_q
     skv_pad = ((skv + block_k - 1) // block_k) * block_k
+    s_ax = 2 if layout == "bhsd" else 1
+
+    def pad_s(x, target):
+        pad = [(0, 0)] * 4
+        pad[s_ax] = (0, target - x.shape[s_ax])
+        return jnp.pad(x, pad)
+
     if sq_pad != sq:
-        q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0), (0, 0)))
+        q = pad_s(q, sq_pad)
     if skv_pad != skv:
-        pad = ((0, 0), (0, skv_pad - skv), (0, 0), (0, 0))
-        k, v = jnp.pad(k, pad), jnp.pad(v, pad)
-    # (B, H, S, D) layout for blocking
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
+        k, v = pad_s(k, skv_pad), pad_s(v, skv_pad)
+    if layout == "bhsd":
+        qt, kt, vt = q, k, v
+    else:
+        # (B, H, S, D) layout for blocking
+        qt = q.transpose(0, 2, 1, 3)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
     nq, nkv = sq_pad // block_q, skv_pad // block_k
 
     kernel = functools.partial(
@@ -171,26 +186,122 @@ def _pallas_forward(q, k, v, kv_valid_len, causal, scale, block_q, block_k,
         ),
         interpret=interpret,
     )(kv_valid_len, qt, kt, vt)
+    if layout == "bhsd":
+        return out[:, :, :sq] if sq_pad != sq else out
     out = out.transpose(0, 2, 1, 3)
     if sq_pad != sq:
         out = out[:, :sq]
     return out
 
 
-def _xla_attention(q, k, v, kv_valid_len, causal, scale):
+def _flash_merge_kernel(
+    valid_len_ref,  # scalar prefetch: (B,) int32
+    q_ref,          # (1, NH, BQ, D)
+    k_ref,          # (1, NH, BK, D)
+    v_ref,          # (1, NH, BK, D)
+    o_ref,          # (1, BQ, NH*D)  — merged heads, residual-stream layout
+    s_scr,          # (BQ, BK) f32 scratch — the head loop is python-unrolled
+    p_scr,          # (BQ, BK) bf16 scratch   and Mosaic's stack allocator
+                    # does not reuse temporaries across unrolled iterations
+                    # (16 live score/probability tensors OOM the 16 MB
+                    # scoped VMEM); routing them through shared scratch
+                    # pins one buffer for all heads
+    *,
+    sm_scale: float,
+    nh: int,
+    hd: int,
+):
+    b = pl.program_id(0)
+    valid_len = valid_len_ref[b]
+    col = jax.lax.broadcasted_iota(jnp.int32, s_scr.shape, 1)
+    key_mask = col < valid_len
+    for h in range(nh):
+        q = q_ref[0, h]  # (BQ, D)
+        k = k_ref[0, h]  # (BK, D)
+        s_scr[...] = jnp.where(key_mask, jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale, MASK_VALUE)
+        s = s_scr[...]
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        p_scr[...] = (p / l).astype(p_scr.dtype)
+        o = jax.lax.dot(
+            p_scr[...], v_ref[0, h],
+            preferred_element_type=jnp.float32)
+        o_ref[0, :, h * hd:(h + 1) * hd] = o.astype(o_ref.dtype)
+
+
+def flash_attention_merge_heads(
+    q: jax.Array,  # (B, NH, S_pad, D) — e.g. from fused_qkv_int8
+    k: jax.Array,
+    v: jax.Array,
+    kv_valid_len: jax.Array,  # (B,) int32
+    *,
+    scale: Optional[float] = None,
+    block_q: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """One-shot flash attention that writes MERGED heads — (B, S_pad, NH*D),
+    the residual-stream layout the out-projection consumes — so the
+    (B, NH, S, D) attention intermediate never round-trips HBM and no
+    boundary transpose remains. Queries stream in row blocks; K/V for the
+    whole key axis stay parked in VMEM per batch step (the vision-tower
+    case, S_pad <= ~1024 — a full-tower block set OOMs the 16 MB scoped
+    VMEM). Non-causal; forward-only (the tower is frozen/stop-gradient'ed
+    on the active path, llava_arch.py:302)."""
+    b, nh, s_pad, d = q.shape
+    scale = scale if scale is not None else d**-0.5
+    block_q = min(block_q, s_pad)
+    while s_pad % block_q:
+        block_q //= 2  # s_pad is a multiple of 8, so this terminates aligned
+    nq = s_pad // block_q
+    kernel = functools.partial(
+        _flash_merge_kernel, sm_scale=scale, nh=nh, hd=d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec((1, nh, block_q, d), lambda b, iq, vl: (b, 0, iq, 0)),
+            pl.BlockSpec((1, nh, s_pad, d), lambda b, iq, vl: (b, 0, 0, 0)),
+            pl.BlockSpec((1, nh, s_pad, d), lambda b, iq, vl: (b, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, nh * d),
+                               lambda b, iq, vl: (b, iq, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, s_pad), jnp.float32),
+            pltpu.VMEM((block_q, s_pad), jnp.bfloat16),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, nh * d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_valid_len.astype(jnp.int32), q, k, v)
+
+
+def _xla_attention(q, k, v, kv_valid_len, causal, scale, layout="bshd"):
     """Exact XLA restatement of the kernel's math (fp32 logits + softmax,
     prefix valid-length mask, optional causal mask) — used only to derive the
     backward pass of `pallas_flash_attention`."""
-    sq, skv = q.shape[1], k.shape[1]
-    logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if layout == "bhsd":
+        sq, skv = q.shape[2], k.shape[2]
+        qk, pv = "bhqd,bhkd->bhqk", "bhqk,bhkd->bhqd"
+    else:
+        sq, skv = q.shape[1], k.shape[1]
+        qk, pv = "bqhd,bkhd->bhqk", "bhqk,bkhd->bqhd"
+    logits = jnp.einsum(qk, q, k, preferred_element_type=jnp.float32) * scale
     col = jnp.arange(skv)[None, None, None, :]
     mask = col < kv_valid_len[:, None, None, None]
     if causal:
         mask = jnp.logical_and(mask, col <= jnp.arange(sq)[None, None, :, None])
     logits = jnp.where(mask, logits, MASK_VALUE)
     probs = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
+    return jnp.einsum(pv, probs.astype(q.dtype), v)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -204,9 +315,11 @@ def _flash_fwd(static, q, k, v, kv_valid_len):
 
 def _flash_bwd(static, res, g):
     causal, scale = static[0], static[1]
+    layout = static[5] if len(static) > 5 else "bshd"
     q, k, v, kv_valid_len = res
     _, vjp = jax.vjp(
-        lambda q, k, v: _xla_attention(q, k, v, kv_valid_len, causal, scale),
+        lambda q, k, v: _xla_attention(q, k, v, kv_valid_len, causal, scale,
+                                       layout),
         q, k, v)
     dq, dk, dv = vjp(g)
     return dq, dk, dv, np.zeros(kv_valid_len.shape, jax.dtypes.float0)
@@ -216,7 +329,8 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "scale", "block_q", "block_k", "interpret")
+    jax.jit, static_argnames=("causal", "scale", "block_q", "block_k",
+                              "interpret", "layout")
 )
 def pallas_flash_attention(
     q: jax.Array,  # (B, S, H, D)
@@ -229,18 +343,27 @@ def pallas_flash_attention(
     block_q: int = 512,
     block_k: int = 1024,
     interpret: bool = False,
+    layout: str = "bshd",
 ) -> jax.Array:
     """Flash attention; q and k/v sequence lengths may differ
     (cross-attention). Sequences are padded to block multiples internally;
     `causal` assumes q and kv share one timeline (self-attention).
-    Differentiable: the backward recomputes via XLA (see module docstring)."""
-    b, sq, h, d = q.shape
-    skv = k.shape[1]
+    Differentiable: the backward recomputes via XLA (see module docstring).
+
+    `layout="bhsd"` takes and returns head-major (B, H, S, D) tensors —
+    the kernel's native block layout — skipping the boundary transposes
+    (used with ops/pallas_qkv_int8.fused_qkv_int8)."""
+    if layout == "bhsd":
+        b, h, sq, d = q.shape
+        skv = k.shape[2]
+    else:
+        b, sq, h, d = q.shape
+        skv = k.shape[1]
     if causal and sq != skv:
         raise ValueError("causal flash attention requires equal q/kv lengths")
     scale = scale if scale is not None else d**-0.5
     if kv_valid_len is None:
         kv_valid_len = jnp.full((b,), skv, jnp.int32)
     kv_valid_len = kv_valid_len.astype(jnp.int32)
-    return _flash((causal, scale, block_q, block_k, interpret),
+    return _flash((causal, scale, block_q, block_k, interpret, layout),
                   q, k, v, kv_valid_len)
