@@ -73,18 +73,23 @@ which = sys.argv[1] if len(sys.argv) > 1 else "all"
 for impl in (["xla", "pallas"] if which == "all" else [which]):
     try:
         f2, f10 = build(2, impl), build(10, impl)
-        jax.block_until_ready(f2(x, W1, W2))
-        jax.block_until_ready(f10(x, W1, W2))
-        best = 1e9
-        for i in range(2):
-            x0 = x + jnp.bfloat16(1e-4 * (i + 1))
+        # warm both compiles AND run each once more (first timed execution
+        # through the relay can include queue effects — discard it)
+        for f in (f2, f10):
+            _ = float(f(x, W1, W2))
+            _ = float(f(x + jnp.bfloat16(1e-4), W1, W2))
+        t2s, t10s = [], []
+        for i in range(3):
+            x0 = x + jnp.bfloat16(1e-4 * (i + 2))
             t0 = time.perf_counter(); _ = float(f2(x0, W1, W2))
-            t2 = time.perf_counter() - t0
-            t0 = time.perf_counter(); _ = float(f10(x0, W1, W2))
-            t10 = time.perf_counter() - t0
-            best = min(best, (t10 - t2) / 8)
+            t2s.append(time.perf_counter() - t0)
+            x1 = x + jnp.bfloat16(1e-4 * (i + 2) + 3e-5)
+            t0 = time.perf_counter(); _ = float(f10(x1, W1, W2))
+            t10s.append(time.perf_counter() - t0)
+        best = (min(t10s) - min(t2s)) / 8
         gbs = BYTES / best / 1e9
-        print(f"gemv {impl}: {best*1e3:.2f} ms/chain, {gbs:.0f} GB/s "
-              f"({gbs/819*100:.0f}% of peak)", flush=True)
+        print(f"gemv {impl}: {best*1e3:.2f} ms/chain "
+              f"(t2 {min(t2s)*1e3:.1f}, t10 {min(t10s)*1e3:.1f}), "
+              f"{gbs:.0f} GB/s ({gbs/819*100:.0f}% of peak)", flush=True)
     except Exception as e:  # noqa: BLE001
         print(f"gemv {impl}: FAILED {str(e)[:200]}", flush=True)
