@@ -131,25 +131,38 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
 
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu" and b * s0 >= 4096
-    # NOTE: padding the whole residual stream to the lane multiple once
-    # (729 -> 768) instead of per-layer inside the flash wrapper was
-    # measured WORSE (341.7 vs 331.6 ms tower): every projection/MLP matmul
-    # pays +5% pad rows, while XLA already fuses the per-layer pads into
-    # the flash-boundary transposes for free. Keep s == num_patches.
-    s = s0
+    # Fused attention half (int8 towers on TPU): LN + row-quant + int8 QKV
+    # in one Pallas pass emitting head-major q/k/v, then one-shot softmax
+    # attention + int8 out-projection + residual in a second pass. The
+    # residual stream stays padded to the lane multiple (729 -> 768) across
+    # all layers so the kernels see aligned blocks; attention masks the pad
+    # keys via kv_valid_len, every other op is row-local, and the pad rows
+    # (LN-bounded garbage) are sliced off after the scan — valid-row
+    # numerics match per-layer padding. (Whole-stream padding WITHOUT the
+    # kernels was measured worse, 341.7 vs 331.6 ms — the win only
+    # materializes once the boundary transposes are gone; see
+    # PERFORMANCE.md round 3.)
+    fused_path = (use_flash and fused_qkv
+                  and "kernel_int8" in params["layers"]["q_proj"])
+    s = -(-s0 // 128) * 128 if fused_path else s0
+    if s > 1024:  # merged-head attention parks K/V for the whole key axis
+        fused_path = False
+        s = s0
+    if s != s0:
+        hidden = jnp.pad(hidden, ((0, 0), (0, s - s0), (0, 0)))
+    kv_valid = jnp.full((b,), s0, jnp.int32)
+    qkv_block_r = 384 if s % 384 == 0 else (256 if s % 256 == 0 else 128)
 
     def layer_body(hidden, lp):
-        residual = hidden
-        blk = min(-(-s // 128) * 128, 1024)
-        if use_flash and fused_qkv and "kernel_int8" in lp["q_proj"]:
-            # LN + row-quant + the three int8 projections fused into one
-            # Pallas pass that emits q/k/v HEAD-MAJOR — the flash kernel's
-            # native block layout — so the per-layer HBM transposes (and
-            # the LN/quant round-trips) disappear (ops/pallas_qkv_int8.py).
-            # Default ON for the int8 TPU tower: measured 296.8 vs 332.1 ms
-            # for the 64-frame tower (PERFORMANCE.md round 3).
+        if fused_path:
+            # Two Pallas passes per attention half (PERFORMANCE.md round 3:
+            # 332 -> 281 ms tower at 3.81 ms/layer-half, then the in-kernel
+            # out-projection removes the last XLA round-trips):
+            #   1. fused_qkv_int8 — LN1 + row-quant + int8 QKV, head-major
+            #   2. flash_attention_out_proj_int8 — one-shot softmax
+            #      attention + int8 out-proj + residual, merged heads
             from memory_augmented_vlm_tpu.ops.pallas_flash import (
-                pallas_flash_attention,
+                flash_attention_out_proj_int8,
             )
             from memory_augmented_vlm_tpu.ops.pallas_qkv_int8 import (
                 fused_qkv_int8,
@@ -164,26 +177,17 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
                 lp["k_proj"]["bias"],
                 lp["v_proj"]["kernel_int8"], lp["v_proj"]["scale"],
                 lp["v_proj"]["bias"],
-                nh=nh, eps=cfg.layer_norm_eps, interpret=_interpret,
+                nh=nh, eps=cfg.layer_norm_eps, block_r=qkv_block_r,
+                interpret=_interpret,
             )
-            # pad rows from the QKV kernel are masked out of the keys
-            kv_valid = jnp.full((b,), s, jnp.int32)
-            if q.shape[2] <= 1024:
-                # merged-head store: attention output lands directly in
-                # residual-stream layout, no (B,NH,S,D) HBM round-trip
-                from memory_augmented_vlm_tpu.ops.pallas_flash import (
-                    flash_attention_merge_heads,
-                )
-
-                attn = flash_attention_merge_heads(
-                    q, k, v, kv_valid, interpret=_interpret)[:, :s]
-            else:
-                attn = pallas_flash_attention(
-                    q, k, v, causal=False, kv_valid_len=kv_valid,
-                    block_q=blk, block_k=blk, interpret=_interpret,
-                    layout="bhsd",
-                )[:, :, :s].transpose(0, 2, 1, 3).reshape(b, s, h)
+            hidden = flash_attention_out_proj_int8(
+                q, k, v, kv_valid, hidden,
+                lp["out_proj"]["kernel_int8"], lp["out_proj"]["scale"],
+                lp["out_proj"]["bias"], interpret=_interpret,
+            )
         else:
+            residual = hidden
+            blk = min(-(-s // 128) * 128, 1024)
             x = layer_norm(hidden, lp["layer_norm1"]["weight"],
                            lp["layer_norm1"]["bias"], cfg.layer_norm_eps)
             q = _linear(lp["q_proj"], x, int8).reshape(b, s, nh, hd)
@@ -207,7 +211,7 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
                 ).reshape(b, s, h)
             else:
                 attn = mha_attention(q, k, v).reshape(b, s, h)
-        hidden = residual + _linear(lp["out_proj"], attn, int8)
+            hidden = residual + _linear(lp["out_proj"], attn, int8)
         if "kernel_int8" in lp["fc1"] and jax.default_backend() == "tpu" \
                 and b * s >= 256 and fused_mlp:
             # whole MLP half-block in one Pallas pass (layernorm + quant +
@@ -240,5 +244,7 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
     if remat:
         layer_body = jax.checkpoint(layer_body, prevent_cse=False)
     hidden, _ = jax.lax.scan(layer_body, hidden, params["layers"])
+    if s != s0:
+        hidden = hidden[:, :s0]
     # NOTE: no post_layernorm — the reference taps pre-norm hidden states.
     return hidden

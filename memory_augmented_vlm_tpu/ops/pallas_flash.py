@@ -284,6 +284,113 @@ def flash_attention_merge_heads(
     )(kv_valid_len.astype(jnp.int32), q, k, v)
 
 
+def _flash_merge_oproj_kernel(
+    valid_len_ref,  # scalar prefetch: (B,) int32
+    q_ref,          # (1, NH, BQ, D)
+    k_ref,          # (1, NH, BK, D)
+    v_ref,          # (1, NH, BK, D)
+    hid_ref,        # (1, BQ, NH*D) — residual stream (padded rows ok)
+    wo_ref,         # (NH*D, NH*D) int8 out-projection
+    so_ref,         # (1, NH*D) f32 per-output-channel scale
+    bo_ref,         # (1, NH*D) f32 bias
+    out_ref,        # (1, BQ, NH*D) — hidden + out_proj(attn)
+    s_scr,          # (BQ, BK) f32   (see _flash_merge_kernel on why scratch)
+    p_scr,          # (BQ, BK) bf16
+    a_scr,          # (BQ, NH*D) bf16 — merged attention output
+    *,
+    sm_scale: float,
+    nh: int,
+    hd: int,
+):
+    b = pl.program_id(0)
+    valid_len = valid_len_ref[b]
+    col = jax.lax.broadcasted_iota(jnp.int32, s_scr.shape, 1)
+    key_mask = col < valid_len
+    for h in range(nh):
+        s_scr[...] = jnp.where(key_mask, jax.lax.dot_general(
+            q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale, MASK_VALUE)
+        s = s_scr[...]
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        p_scr[...] = (p / l).astype(p_scr.dtype)
+        o = jax.lax.dot(
+            p_scr[...], v_ref[0, h], preferred_element_type=jnp.float32)
+        a_scr[:, h * hd:(h + 1) * hd] = o.astype(a_scr.dtype)
+    # int8 out-projection + residual, same row-quant math as
+    # ops/quant.int8_linear (per-row scale over the full NH*D row)
+    x = a_scr[...].astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x * (1.0 / sx)), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * so_ref[...] + bo_ref[...]
+    out_ref[0] = (hid_ref[0].astype(jnp.float32) + y).astype(out_ref.dtype)
+
+
+def flash_attention_out_proj_int8(
+    q: jax.Array,  # (B, NH, S_pad, D) — from fused_qkv_int8
+    k: jax.Array,
+    v: jax.Array,
+    kv_valid_len: jax.Array,  # (B,) int32
+    hidden: jax.Array,        # (B, S_pad, NH*D) residual stream
+    wo: jax.Array, so: jax.Array, bo: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    block_q: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """`flash_attention_merge_heads` + the int8 out-projection + residual
+    add in the same pass: returns hidden + attn @ Wo directly, so neither
+    the merged attention output nor the quantized activations round-trip
+    HBM. Requires the residual stream padded to S_pad (whole-stream padding
+    — see models/siglip.py). Forward-only, non-causal (frozen tower)."""
+    b, nh, s_pad, d = q.shape
+    h_tot = nh * d
+    scale = scale if scale is not None else d**-0.5
+    block_q = min(block_q, s_pad)
+    while s_pad % block_q:
+        block_q //= 2
+    nq = s_pad // block_q
+    kernel = functools.partial(
+        _flash_merge_oproj_kernel, sm_scale=scale, nh=nh, hd=d)
+
+    def vec(x):
+        return x.reshape(1, h_tot).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec((1, nh, block_q, d), lambda b, iq, vl: (b, 0, iq, 0)),
+            pl.BlockSpec((1, nh, s_pad, d), lambda b, iq, vl: (b, 0, 0, 0)),
+            pl.BlockSpec((1, nh, s_pad, d), lambda b, iq, vl: (b, 0, 0, 0)),
+            pl.BlockSpec((1, block_q, h_tot), lambda b, iq, vl: (b, iq, 0)),
+            pl.BlockSpec((h_tot, h_tot), lambda b, iq, vl: (0, 0)),
+            pl.BlockSpec((1, h_tot), lambda b, iq, vl: (0, 0)),
+            pl.BlockSpec((1, h_tot), lambda b, iq, vl: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, h_tot),
+                               lambda b, iq, vl: (b, iq, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, s_pad), jnp.float32),
+            pltpu.VMEM((block_q, s_pad), jnp.bfloat16),
+            pltpu.VMEM((block_q, h_tot), jnp.bfloat16),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, h_tot), hidden.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_valid_len.astype(jnp.int32), q, k, v, hidden, wo, vec(so), vec(bo))
+
+
 def _xla_attention(q, k, v, kv_valid_len, causal, scale, layout="bshd"):
     """Exact XLA restatement of the kernel's math (fp32 logits + softmax,
     prefix valid-length mask, optional causal mask) — used only to derive the

@@ -106,3 +106,70 @@ def test_flash_gradients_match_reference():
     for a, b_ in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_bhsd_layout_matches_bshd():
+    """layout="bhsd" (head-major in/out, no boundary transposes) must equal
+    the default layout on the same inputs."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from memory_augmented_vlm_tpu.ops.pallas_flash import pallas_flash_attention
+
+    rng = np.random.default_rng(0)
+    B, S, H, D = 2, 200, 4, 64
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    vl = jnp.asarray([200, 150], jnp.int32)
+    ref = pallas_flash_attention(q, k, v, causal=False, kv_valid_len=vl,
+                                 block_q=128, block_k=128, interpret=True)
+    got = pallas_flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), causal=False, kv_valid_len=vl,
+        block_q=128, block_k=128, interpret=True, layout="bhsd")
+    np.testing.assert_allclose(np.asarray(got.transpose(0, 2, 1, 3)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_merge_heads_and_out_proj_kernels_match_composed():
+    """flash_attention_merge_heads == transpose+reshape of bhsd attention;
+    flash_attention_out_proj_int8 == merge_heads + int8_linear + residual."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from memory_augmented_vlm_tpu.ops.pallas_flash import (
+        flash_attention_merge_heads,
+        flash_attention_out_proj_int8,
+        pallas_flash_attention,
+    )
+    from memory_augmented_vlm_tpu.ops.quant import int8_linear, prequantize_kernel
+
+    rng = np.random.default_rng(1)
+    B, NH, S, D = 2, 4, 256, 64
+    H = NH * D
+    mk = lambda: jnp.asarray(rng.standard_normal((B, NH, S, D)), jnp.bfloat16)  # noqa: E731
+    q, k, v = mk(), mk(), mk()
+    vl = jnp.asarray([256, 200], jnp.int32)
+    merged = flash_attention_merge_heads(q, k, v, vl, interpret=True)
+    ref = pallas_flash_attention(q, k, v, causal=False, kv_valid_len=vl,
+                                 block_q=128, block_k=256, interpret=True,
+                                 layout="bhsd")
+    ref_merged = ref.transpose(0, 2, 1, 3).reshape(B, S, H)
+    np.testing.assert_allclose(
+        np.asarray(merged, np.float32), np.asarray(ref_merged, np.float32),
+        rtol=2e-2, atol=2e-2)
+
+    wo, so = prequantize_kernel(
+        jnp.asarray(rng.standard_normal((H, H)) * 0.05, jnp.float32))
+    bo = jnp.asarray(rng.standard_normal(H) * 0.01, jnp.float32)
+    hid = jnp.asarray(rng.standard_normal((B, S, H)), jnp.bfloat16)
+    got = flash_attention_out_proj_int8(q, k, v, vl, hid, wo, so, bo,
+                                        interpret=True)
+    want = hid + int8_linear(
+        {"kernel_int8": wo, "scale": so, "bias": bo}, merged).astype(hid.dtype)
+    rel = (np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32)).std()
+           / np.asarray(want, np.float32).std())
+    assert rel < 2e-2, rel
