@@ -64,10 +64,6 @@ def _qkv_kernel(
 ):
     x = _ln_f32(hid_ref[0], lnw_ref[...], lnb_ref[...], eps)
     xq, sx = _rowquant(x)
-    br = x.shape[0]
-
-    del br
-
     def proj(w_ref, s_ref, b_ref, out):
         acc = jax.lax.dot_general(
             xq, w_ref[...], (((1,), (0,)), ((), ())),
