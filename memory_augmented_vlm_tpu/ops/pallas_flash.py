@@ -349,6 +349,10 @@ def flash_attention_out_proj_int8(
     — see models/siglip.py). Forward-only, non-causal (frozen tower)."""
     b, nh, s_pad, d = q.shape
     h_tot = nh * d
+    if hidden.shape != (b, s_pad, h_tot):
+        raise ValueError(
+            f"residual stream {hidden.shape} must match q's padded geometry "
+            f"{(b, s_pad, h_tot)} — pad the whole stream (models/siglip.py)")
     scale = scale if scale is not None else d**-0.5
     block_q = min(block_q, s_pad)
     while s_pad % block_q:
