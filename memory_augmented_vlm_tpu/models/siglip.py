@@ -116,7 +116,8 @@ def embed_patches(params, cfg: VisionConfig, pixel_values: jax.Array) -> jax.Arr
 
 def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
             remat: bool = False, int8: bool = False,
-            fused_mlp: bool = False, fused_qkv: bool = True, use_flash=None,
+            fused_mlp: bool = False, fused_qkv: bool = True,
+            fused_oproj: bool = False, use_flash=None,
             _interpret: bool = False) -> jax.Array:
     """Vision tower forward: (B, H, W, C) pixels -> (B, 729, 1152) features.
 
@@ -144,24 +145,33 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
     # PERFORMANCE.md round 3.)
     fused_path = (use_flash and fused_qkv
                   and "kernel_int8" in params["layers"]["q_proj"])
-    s = -(-s0 // 128) * 128 if fused_path else s0
-    if s > 1024:  # merged-head attention parks K/V for the whole key axis
-        fused_path = False
-        s = s0
+    if -(-s0 // 128) * 128 > 1024:
+        fused_path = False  # merged-head attention parks K/V for the whole
+        # key axis in VMEM; larger towers take the generic flash path
+    # `fused_oproj` additionally folds the int8 out-projection + residual
+    # into the attention pass; it requires the residual stream itself to
+    # stay padded across layers (pad rows are row-local everywhere and
+    # masked out of attention, so valid-row numerics are unchanged).
+    # Default OFF until measured in-context on real hardware.
+    pad_stream = fused_path and fused_oproj
+    s = -(-s0 // 128) * 128 if pad_stream else s0
     if s != s0:
         hidden = jnp.pad(hidden, ((0, 0), (0, s - s0), (0, 0)))
     kv_valid = jnp.full((b,), s0, jnp.int32)
-    qkv_block_r = 384 if s % 384 == 0 else (256 if s % 256 == 0 else 128)
+    spad = -(-s // 128) * 128
+    qkv_block_r = 384 if spad % 384 == 0 else (256 if spad % 256 == 0 else 128)
 
     def layer_body(hidden, lp):
         if fused_path:
-            # Two Pallas passes per attention half (PERFORMANCE.md round 3:
-            # 332 -> 281 ms tower at 3.81 ms/layer-half, then the in-kernel
-            # out-projection removes the last XLA round-trips):
+            # Fused attention half in two Pallas passes (PERFORMANCE.md
+            # round 3: 332 -> 281 ms tower at 3.81 ms/layer-half):
             #   1. fused_qkv_int8 — LN1 + row-quant + int8 QKV, head-major
-            #   2. flash_attention_out_proj_int8 — one-shot softmax
-            #      attention + int8 out-proj + residual, merged heads
+            #   2. flash_attention_merge_heads — one-shot softmax attention
+            #      with a merged-head store back in residual-stream layout
+            # With fused_oproj, pass 2 also performs the int8
+            # out-projection + residual (flash_attention_out_proj_int8).
             from memory_augmented_vlm_tpu.ops.pallas_flash import (
+                flash_attention_merge_heads,
                 flash_attention_out_proj_int8,
             )
             from memory_augmented_vlm_tpu.ops.pallas_qkv_int8 import (
@@ -180,11 +190,16 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
                 nh=nh, eps=cfg.layer_norm_eps, block_r=qkv_block_r,
                 interpret=_interpret,
             )
-            hidden = flash_attention_out_proj_int8(
-                q, k, v, kv_valid, hidden,
-                lp["out_proj"]["kernel_int8"], lp["out_proj"]["scale"],
-                lp["out_proj"]["bias"], interpret=_interpret,
-            )
+            if pad_stream:
+                hidden = flash_attention_out_proj_int8(
+                    q, k, v, kv_valid, hidden,
+                    lp["out_proj"]["kernel_int8"], lp["out_proj"]["scale"],
+                    lp["out_proj"]["bias"], interpret=_interpret,
+                )
+            else:
+                attn = flash_attention_merge_heads(
+                    q, k, v, kv_valid, interpret=_interpret)[:, :s]
+                hidden = hidden + _linear(lp["out_proj"], attn, int8)
         else:
             residual = hidden
             blk = min(-(-s // 128) * 128, 1024)

@@ -118,12 +118,13 @@ def test_tower_fused_qkv_int8_matches_composed_int8(tiny_siglip):
     pixels = jnp.asarray(rng.standard_normal((2, 56, 56, 3)), jnp.float32)
     ref = np.asarray(siglip.forward(qparams, cfg, pixels, int8=True,
                                     use_flash=False))
-    got = np.asarray(siglip.forward(qparams, cfg, pixels, int8=True,
-                                    fused_qkv=True, use_flash=True,
-                                    _interpret=True))
-    assert got.shape == ref.shape
-    # q/k/v leave the fused kernel as bf16 (the composed path keeps f32
-    # here), so drift sits in the bf16-activation class, same as the TPU
-    # parity bound (CLAUDE.md numerics rules)
-    rel = np.abs(got - ref).std() / ref.std()
-    assert rel < 2e-2, rel
+    for oproj in (False, True):
+        got = np.asarray(siglip.forward(qparams, cfg, pixels, int8=True,
+                                        fused_qkv=True, fused_oproj=oproj,
+                                        use_flash=True, _interpret=True))
+        assert got.shape == ref.shape
+        # q/k/v leave the fused kernel as bf16 (the composed path keeps f32
+        # here), so drift sits in the bf16-activation class, same as the TPU
+        # parity bound (CLAUDE.md numerics rules)
+        rel = np.abs(got - ref).std() / ref.std()
+        assert rel < 2e-2, (oproj, rel)
