@@ -11,7 +11,9 @@ uses the `rouge` pip package, not bundled here).
 from __future__ import annotations
 
 import argparse
+import glob
 import json
+import os
 import re
 from collections import defaultdict
 from typing import Dict, List, Sequence
@@ -104,11 +106,20 @@ def evaluate(predictions: List[dict]) -> Dict[str, float]:
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--result-file", required=True, help="predictions JSONL")
+    p.add_argument("--result-file", default=None, help="predictions JSONL")
+    p.add_argument("--result-dir", default=None,
+                   help="directory of chunk JSONLs (the reference "
+                        "evaluate_interleave.py --result-dir surface)")
     p.add_argument("--output", default=None)
     args = p.parse_args(argv)
-    with open(args.result_file) as f:
-        preds = [json.loads(l) for l in f if l.strip()]
+    if not args.result_file and not args.result_dir:
+        p.error("one of --result-file / --result-dir is required")
+    paths = ([args.result_file] if args.result_file else
+             sorted(glob.glob(os.path.join(args.result_dir, "*.jsonl"))))
+    preds = []
+    for path in paths:
+        with open(path) as f:
+            preds += [json.loads(l) for l in f if l.strip()]
     results = evaluate(preds)
     for k, v in sorted(results.items()):
         print(f"{k}: {v:.4f}")

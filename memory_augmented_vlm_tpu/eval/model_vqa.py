@@ -42,25 +42,29 @@ def main(argv=None):
     p.add_argument("--question-file", required=True)
     p.add_argument("--image-folder", default="")
     p.add_argument("--video-folder", default="")
+    p.add_argument("--extra-prompt", default="")
     p.add_argument("--answers-file", default="answers.jsonl")
     p.add_argument("--conv-mode", default="qwen_1_5")
     p.add_argument("--num-chunks", type=int, default=1)
     p.add_argument("--chunk-idx", type=int, default=0)
     p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top_p", type=float, default=None)
+    p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--test_size", type=int, default=10000000)
     p.add_argument("--max_new_tokens", type=int, default=128)
     p.add_argument("--max_frames_num", type=int, default=64)
     args = p.parse_args(argv)
 
     tokenizer, model, image_processor, _ = load_pretrained_model(
         args.model_path, args.model_base, "llava_qwen")
-    questions = get_chunk(load_questions(args.question_file),
+    questions = get_chunk(load_questions(args.question_file)[: args.test_size],
                           args.num_chunks, args.chunk_idx)
     os.makedirs(os.path.dirname(os.path.abspath(args.answers_file)), exist_ok=True)
 
     def preprocess_question(q):
         """Host-side media decode+preprocess (runs on the prefetch thread so
         the vision tower never starves the LM — SURVEY.md §7 pipelining)."""
-        text = q.get("text", q.get("question", ""))
+        text = q.get("text", q.get("question", q.get("Q1", "")))
         pixels, modality = None, "text"
         if q.get("video"):
             from memory_augmented_vlm_tpu.data.video import load_video
@@ -80,6 +84,8 @@ def main(argv=None):
             modality = "image"
         if pixels is not None and constants.DEFAULT_IMAGE_TOKEN not in text:
             text = constants.DEFAULT_IMAGE_TOKEN + "\n" + text
+        if args.extra_prompt:
+            text = text + args.extra_prompt
         return q, text, pixels, modality
 
     # double-buffered prefetch: decode/preprocess question i+1 on a thread
@@ -108,26 +114,46 @@ def main(argv=None):
                     "text": "", "error": text}) + "\n")
                 continue
 
-            conv = conv_templates[args.conv_mode].copy()
-            conv.append_message(conv.roles[0], text)
-            conv.append_message(conv.roles[1], None)
-            ids = tokenizer_image_token(conv.get_prompt(), tokenizer)
-            out = model.generate(
-                ids[None],
-                images=[pixels] if pixels is not None else None,
-                modalities=[modality],
-                do_sample=args.temperature > 0,
-                temperature=args.temperature,
-                max_new_tokens=args.max_new_tokens,
-                eos_token_id=tokenizer.convert_tokens_to_ids("<|im_end|>"),
-            )
-            answer = tokenizer.decode(out[0], skip_special_tokens=True).strip()
-            ans_file.write(json.dumps({
+            def answer_one(prompt_text):
+                conv = conv_templates[args.conv_mode].copy()
+                conv.append_message(conv.roles[0], prompt_text)
+                conv.append_message(conv.roles[1], None)
+                ids = tokenizer_image_token(conv.get_prompt(), tokenizer)
+                out = model.generate(
+                    ids[None],
+                    images=[pixels] if pixels is not None else None,
+                    modalities=[modality],
+                    do_sample=args.temperature > 0,
+                    temperature=args.temperature,
+                    top_p=args.top_p,
+                    num_beams=args.num_beams,
+                    max_new_tokens=args.max_new_tokens,
+                    eos_token_id=tokenizer.convert_tokens_to_ids("<|im_end|>"),
+                )
+                return tokenizer.decode(out[0],
+                                        skip_special_tokens=True).strip()
+
+            row = {
                 "question_id": q.get("question_id", q.get("id")),
                 "prompt": text,
-                "text": answer,
+                "text": answer_one(text),
                 "model_id": os.path.basename(args.model_path.rstrip("/")),
-            }) + "\n")
+            }
+            if q.get("answer") or q.get("A"):
+                # carry the gt answer through for the judge scorers
+                # (gpt_eval.py), like the reference's model_video_chatgpt_*
+                # pred rows
+                row["answer"] = q.get("answer", q.get("A"))
+            if q.get("Q2"):
+                # consistency pairs (video_chatgpt_benchmark_eval_shard.sh's
+                # model_video_chatgpt_consistency role): answer the second
+                # phrasing of the same question against the same media
+                q2 = q["Q2"]
+                if pixels is not None and \
+                        constants.DEFAULT_IMAGE_TOKEN not in q2:
+                    q2 = constants.DEFAULT_IMAGE_TOKEN + "\n" + q2
+                row["pred2"] = answer_one(q2 + args.extra_prompt)
+            ans_file.write(json.dumps(row) + "\n")
             ans_file.flush()
 
 
