@@ -240,13 +240,16 @@ class MeshConfig:
     """Device-mesh layout for pjit sharding (replaces torchrun+NCCL+ZeRO).
 
     Axes: `data` for per-host batch sharding (DCN-friendly), `fsdp` for
-    parameter/optimizer sharding (ICI), `tp` for tensor parallel on 7B+.
+    parameter/optimizer sharding (ICI), `tp` for tensor parallel on 7B+,
+    `sp` for sequence/context parallelism (ring attention over the ~19k-token
+    128-frame prefill; ops/ring_attention.py).
     """
 
     data: int = 1
     fsdp: int = 1
     tp: int = 1
+    sp: int = 1
 
     @property
     def num_devices(self) -> int:
-        return self.data * self.fsdp * self.tp
+        return self.data * self.fsdp * self.tp * self.sp

@@ -387,13 +387,26 @@ def forward(
                 k = apply_rope(k, cos, sin)
                 kq = repeat_kv(k, cfg.kv_groups)
                 vq = repeat_kv(v, cfg.kv_groups)
-                attn = flash_attention(
-                    q, kq, vq,
-                    causal=True,
-                    kv_valid_len=valid_len,
-                    force_reference=force_reference_attention,
-                    differentiable=differentiable_attention,
+                from memory_augmented_vlm_tpu.ops.ring_attention import (
+                    ring_attention,
+                    sp_size,
                 )
+
+                if sp_size() > 1:
+                    # sequence-parallel prefill: the ambient mesh carries an
+                    # `sp` axis, so attention runs as a ppermute ring over
+                    # sequence shards (ops/ring_attention.py) — differentiable,
+                    # so it serves the train step too
+                    attn = ring_attention(q, kq, vq, kv_valid_len=valid_len,
+                                          causal=True)
+                else:
+                    attn = flash_attention(
+                        q, kq, vq,
+                        causal=True,
+                        kv_valid_len=valid_len,
+                        force_reference=force_reference_attention,
+                        differentiable=differentiable_attention,
+                    )
         else:
             # memory chunk as extra (non-causal) keys/values, masked out on
             # layers without injection; sequence RoPE shifted by +t_chunk on

@@ -32,6 +32,8 @@ def timeit(name, **kw):
 
 which = sys.argv[1] if len(sys.argv) > 1 else "both"
 if which in ("both", "composed"):
-    timeit("tower int8 composed ")
+    timeit("tower int8 composed ", fused_qkv=False)
 if which in ("both", "fusedqkv"):
     timeit("tower int8 fusedqkv", fused_qkv=True)
+if which in ("both", "oproj"):
+    timeit("tower int8 fused+oproj", fused_qkv=True, fused_oproj=True)
