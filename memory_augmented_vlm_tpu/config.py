@@ -242,14 +242,16 @@ class MeshConfig:
     Axes: `data` for per-host batch sharding (DCN-friendly), `fsdp` for
     parameter/optimizer sharding (ICI), `tp` for tensor parallel on 7B+,
     `sp` for sequence/context parallelism (ring attention over the ~19k-token
-    128-frame prefill; ops/ring_attention.py).
+    128-frame prefill; ops/ring_attention.py), `pp` for pipeline parallelism
+    (GPipe layer stages; ops/pipeline.py).
     """
 
     data: int = 1
     fsdp: int = 1
     tp: int = 1
     sp: int = 1
+    pp: int = 1
 
     @property
     def num_devices(self) -> int:
-        return self.data * self.fsdp * self.tp * self.sp
+        return self.data * self.fsdp * self.tp * self.sp * self.pp

@@ -299,6 +299,7 @@ def forward(
     differentiable_attention: bool = False,
     memory_prompt: Optional[jax.Array] = None,
     memory_prompt_layers: int = 10,
+    need_cache: bool = True,
 ) -> Tuple[jax.Array, KVCache]:
     """Full-sequence forward (prefill / training).
 
@@ -314,6 +315,11 @@ def forward(
                    :1062-1115; prepend-then-trim there is equivalent to
                    extra non-causal K/V here since the prompt's own query
                    rows are discarded).
+    need_cache:    pass False on loss-only paths (training); this both skips
+                   the cache assembly and enables the pipeline-parallel layer
+                   scan under a `pp>1` mesh (ops/pipeline.py), which does not
+                   collect per-layer K/V. The cache slot of the return value
+                   is None in that case.
 
     Returns (hidden_states (B, S, H) after final norm, KVCache).
     """
@@ -365,6 +371,45 @@ def forward(
         inject_flags = jnp.arange(n_layers) >= (n_layers - n_inj)
         mem_cos, mem_sin = rope_cos_sin(jnp.arange(t_chunk)[None], inv_freq)
         cos_shift, sin_shift = rope_cos_sin(positions + t_chunk, inv_freq)
+
+    from memory_augmented_vlm_tpu.ops.pipeline import (
+        pipeline_scan,
+        pp_viable,
+    )
+    from memory_augmented_vlm_tpu.ops.ring_attention import sp_size
+
+    nlayers = params["layers"]["input_layernorm"].shape[0]
+    if (not need_cache and memory_prompt is None and not use_alibi
+            and sp_size() == 1 and pp_viable(b, nlayers)):
+        # pipeline-parallel layer scan (ops/pipeline.py): stages hold L/P
+        # layers each, microbatches stream via ppermute. Loss-only (no
+        # per-layer K/V collection); rope tables and valid lengths travel
+        # with the microbatch payload.
+        def pp_body(payload, lp):
+            hid, pcos, psin, pvalid = payload
+            residual = hid
+            x = _norm(hid, lp["input_layernorm"], cfg)
+            q, k, v = _qkv(lp, cfg, x)
+            q = apply_rope(q, pcos, psin)
+            k = apply_rope(k, pcos, psin)
+            attn = flash_attention(
+                q, repeat_kv(k, cfg.kv_groups), repeat_kv(v, cfg.kv_groups),
+                causal=True, kv_valid_len=pvalid,
+                force_reference=force_reference_attention,
+                differentiable=differentiable_attention,
+            )
+            hid = residual + _proj(lp["o_proj"], attn.reshape(*hid.shape))
+            residual = hid
+            x = _norm(hid, lp["post_attention_layernorm"], cfg)
+            hid = residual + _layer_mlp(lp, x, cfg.mlp_act, cfg)
+            return (hid, pcos, psin, pvalid), None
+
+        if remat:
+            pp_body = jax.checkpoint(pp_body, prevent_cse=False)
+        out_payload = pipeline_scan(
+            pp_body, (inputs_embeds, cos, sin, valid_len), params["layers"])
+        hidden = _norm(out_payload[0], params["norm"], cfg)
+        return hidden, None
 
     def layer_body(hidden, xs):
         if memory_prompt is None:

@@ -1,17 +1,19 @@
 """Device mesh construction — the TPU replacement for the reference's
 torchrun + NCCL + DeepSpeed ZeRO stack (SURVEY.md §2.8).
 
-One 4-axis mesh covers every parallelism mode the framework uses:
+One 5-axis mesh covers every parallelism mode the framework uses:
   - `data` : pure data parallel (maps to DCN across hosts at scale)
   - `fsdp` : parameter/optimizer sharding (ZeRO-3 equivalent, rides ICI)
   - `tp`   : tensor parallel for 7B+ (attention heads / MLP columns)
   - `sp`   : sequence/context parallel — ring attention over sequence
              shards for long-video prefill (ops/ring_attention.py)
+  - `pp`   : pipeline parallel — GPipe layer stages streaming microbatches
+             over ppermute (ops/pipeline.py)
 
 The reference is DP-only with ZeRO-2 (scripts/zero2.json); `data x fsdp`
-subsumes that, and `tp`/`sp` add what the reference lacks for 72B-class
-and 19k-token-context configs. No NCCL env tuning: XLA inserts and
-schedules all collectives.
+subsumes that, and `tp`/`sp`/`pp` add what the reference lacks for
+72B-class and 19k-token-context configs. No NCCL env tuning: XLA inserts
+and schedules all collectives.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from memory_augmented_vlm_tpu.config import MeshConfig
 
-AXES = ("data", "fsdp", "tp", "sp")
+AXES = ("data", "fsdp", "tp", "sp", "pp")
 
 
 def build_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
@@ -32,12 +34,13 @@ def build_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) 
     n = cfg.num_devices
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
-    arr = np.asarray(devices[:n]).reshape(cfg.data, cfg.fsdp, cfg.tp, cfg.sp)
+    arr = np.asarray(devices[:n]).reshape(
+        cfg.data, cfg.fsdp, cfg.tp, cfg.sp, cfg.pp)
     return Mesh(arr, AXES)
 
 
 def single_device_mesh() -> Mesh:
-    return build_mesh(MeshConfig(1, 1, 1, 1))
+    return build_mesh(MeshConfig())
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

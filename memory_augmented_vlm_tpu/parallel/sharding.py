@@ -24,33 +24,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def _lm_layer_rules() -> dict:
+    # every stacked entry's leading axis is the LAYER axis: it shards over
+    # `pp` (pipeline stages each hold L/P contiguous layers — a size-1 no-op
+    # on meshes without pipeline parallelism; ops/pipeline.py)
     return {
-        "input_layernorm": P(None, None),
-        "post_attention_layernorm": P(None, None),
-        "q_proj": {"kernel": P(None, "fsdp", "tp"), "bias": P(None, "tp")},
-        "k_proj": {"kernel": P(None, "fsdp", "tp"), "bias": P(None, "tp")},
-        "v_proj": {"kernel": P(None, "fsdp", "tp"), "bias": P(None, "tp")},
-        "o_proj": {"kernel": P(None, "tp", "fsdp")},
-        "gate_proj": {"kernel": P(None, "fsdp", "tp")},
-        "up_proj": {"kernel": P(None, "fsdp", "tp")},
-        "down_proj": {"kernel": P(None, "tp", "fsdp")},
+        "input_layernorm": P("pp", None),
+        "post_attention_layernorm": P("pp", None),
+        "q_proj": {"kernel": P("pp", "fsdp", "tp"), "bias": P("pp", "tp")},
+        "k_proj": {"kernel": P("pp", "fsdp", "tp"), "bias": P("pp", "tp")},
+        "v_proj": {"kernel": P("pp", "fsdp", "tp"), "bias": P("pp", "tp")},
+        "o_proj": {"kernel": P("pp", "tp", "fsdp")},
+        "gate_proj": {"kernel": P("pp", "fsdp", "tp")},
+        "up_proj": {"kernel": P("pp", "fsdp", "tp")},
+        "down_proj": {"kernel": P("pp", "tp", "fsdp")},
         # Mixtral MoE: expert axis on fsdp = expert parallelism (each device
         # computes its experts for all tokens; the zero-masked weighted sum
         # reduces with one psum), tp still splits the expert FFN.
-        "moe_gate": {"kernel": P(None, "fsdp", None)},
+        "moe_gate": {"kernel": P("pp", "fsdp", None)},
         "experts": {
-            "gate_proj": {"kernel": P(None, "fsdp", None, "tp")},
-            "up_proj": {"kernel": P(None, "fsdp", None, "tp")},
-            "down_proj": {"kernel": P(None, "fsdp", "tp", None)},
+            "gate_proj": {"kernel": P("pp", "fsdp", None, "tp")},
+            "up_proj": {"kernel": P("pp", "fsdp", None, "tp")},
+            "down_proj": {"kernel": P("pp", "fsdp", "tp", None)},
         },
         # Qwen2MoE shared expert: a plain dense SwiGLU beside the routed
         # experts (same layout as the dense MLP); the scalar gate replicates
         "shared_expert": {
-            "gate_proj": {"kernel": P(None, "fsdp", "tp")},
-            "up_proj": {"kernel": P(None, "fsdp", "tp")},
-            "down_proj": {"kernel": P(None, "tp", "fsdp")},
+            "gate_proj": {"kernel": P("pp", "fsdp", "tp")},
+            "up_proj": {"kernel": P("pp", "fsdp", "tp")},
+            "down_proj": {"kernel": P("pp", "tp", "fsdp")},
         },
-        "shared_expert_gate": {"kernel": P(None, "fsdp", None)},
+        "shared_expert_gate": {"kernel": P("pp", "fsdp", None)},
     }
 
 

@@ -90,6 +90,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--mesh_sp", type=int, default=1,
                    help="sequence-parallel ring size (ring attention over "
                         "the fused prefill; ops/ring_attention.py)")
+    p.add_argument("--mesh_pp", type=int, default=1,
+                   help="pipeline-parallel stage count (GPipe layer stages; "
+                        "ops/pipeline.py)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() for multi-host pods")
@@ -163,12 +166,13 @@ def train(args) -> Dict[str, float]:
 
     n_dev = len(jax.devices())
     fsdp = args.mesh_fsdp or max(
-        1, n_dev // (args.mesh_data * args.mesh_tp * args.mesh_sp))
-    mesh = build_mesh(
-        MeshConfig(args.mesh_data, fsdp, args.mesh_tp, args.mesh_sp))
+        1, n_dev // (args.mesh_data * args.mesh_tp * args.mesh_sp
+                     * args.mesh_pp))
+    mesh = build_mesh(MeshConfig(args.mesh_data, fsdp, args.mesh_tp,
+                                 args.mesh_sp, args.mesh_pp))
     params = shard_params(params, mesh)
     rank0_print(f"mesh: data={args.mesh_data} fsdp={fsdp} "
-                f"tp={args.mesh_tp} sp={args.mesh_sp}")
+                f"tp={args.mesh_tp} sp={args.mesh_sp} pp={args.mesh_pp}")
 
     from memory_augmented_vlm_tpu.data.preprocessing import SigLipImageProcessor
 
@@ -220,10 +224,10 @@ def train(args) -> Dict[str, float]:
     # bucketed batching: greedy queueing by bucket key
     queues: Dict[tuple, List] = defaultdict(list)
     order = rng.permutation(len(dataset))
-    # tp and sp devices cooperate on the same batch rows; only data/fsdp
+    # tp/sp/pp devices cooperate on the same batch rows; only data/fsdp
     # axes multiply the global batch
     bsz = (args.per_device_train_batch_size * mesh.devices.size
-           // (args.mesh_tp * args.mesh_sp))
+           // (args.mesh_tp * args.mesh_sp * args.mesh_pp))
     step = int(state.step)
     last = {}
     i = 0

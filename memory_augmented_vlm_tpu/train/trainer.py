@@ -203,7 +203,7 @@ def multimodal_loss(params, cfg: VLMConfig, batch: TrainBatch, *,
             jnp.arange(embeds.shape[1])[None], embeds.shape[:2])
     hidden, _ = qwen2.forward(
         params["language_model"], cfg.lm, embeds, positions, valid_len=valid_len,
-        remat=True, differentiable_attention=True,
+        remat=True, differentiable_attention=True, need_cache=False,
     )
     loss, count = cross_entropy(params, cfg, hidden, labels, valid_len)
     return loss, {"loss": loss, "target_tokens": count}
@@ -227,7 +227,8 @@ def text_loss(params, cfg: VLMConfig, batch: TextBatch):
     positions = jnp.broadcast_to(jnp.arange(embeds.shape[1])[None], embeds.shape[:2])
     hidden, _ = qwen2.forward(
         params["language_model"], cfg.lm, embeds, positions,
-        valid_len=batch.text_len, remat=True, differentiable_attention=True)
+        valid_len=batch.text_len, remat=True, differentiable_attention=True,
+        need_cache=False)
     loss, count = cross_entropy(params, cfg, hidden, batch.labels, batch.text_len)
     return loss, {"loss": loss, "target_tokens": count}
 

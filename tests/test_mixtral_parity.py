@@ -119,7 +119,7 @@ def test_mixtral_sharded_on_mesh(tiny_mixtral):
     mesh = build_mesh(MeshConfig(data=2, fsdp=2, tp=2))
     pspecs = sanitize_pspecs(lm_param_pspecs(params), params, mesh)
     assert pspecs["layers"]["experts"]["gate_proj"]["kernel"] == P(
-        None, "fsdp", None, "tp")
+        "pp", "fsdp", None, "tp")  # pp is size-1 on this mesh (layer axis)
     sharded = jax.device_put(
         params, jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
                              is_leaf=lambda x: isinstance(x, P)))
