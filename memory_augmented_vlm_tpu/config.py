@@ -59,6 +59,11 @@ class LMConfig:
     # intermediate size runs alongside the routed experts
     moe_norm_topk_prob: bool = True
     moe_shared_expert_size: int = 0   # 0 = no shared expert (Mixtral)
+    # pipeline-parallel schedule knob (ops/pipeline.py): microbatch count for
+    # the GPipe layer scan under a pp>1 mesh. 0 = one per stage; raising it
+    # shrinks the fill/drain bubble (P-1)/(M+P-1) at the cost of smaller
+    # per-microbatch matmuls. Local batch must divide it (pp_viable).
+    pp_microbatches: int = 0
     # dtype used for activations on device (params may be kept in fp32 master copies)
     dtype: str = "bfloat16"
 

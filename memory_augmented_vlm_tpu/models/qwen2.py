@@ -379,8 +379,9 @@ def forward(
     from memory_augmented_vlm_tpu.ops.ring_attention import sp_size
 
     nlayers = params["layers"]["input_layernorm"].shape[0]
+    pp_m = cfg.pp_microbatches or None
     if (not need_cache and memory_prompt is None and not use_alibi
-            and sp_size() == 1 and pp_viable(b, nlayers)):
+            and sp_size() == 1 and pp_viable(b, nlayers, pp_m)):
         # pipeline-parallel layer scan (ops/pipeline.py): stages hold L/P
         # layers each, microbatches stream via ppermute. Loss-only (no
         # per-layer K/V collection); rope tables and valid lengths travel
@@ -407,7 +408,8 @@ def forward(
         if remat:
             pp_body = jax.checkpoint(pp_body, prevent_cse=False)
         out_payload = pipeline_scan(
-            pp_body, (inputs_embeds, cos, sin, valid_len), params["layers"])
+            pp_body, (inputs_embeds, cos, sin, valid_len), params["layers"],
+            num_microbatches=pp_m)
         hidden = _norm(out_payload[0], params["norm"], cfg)
         return hidden, None
 

@@ -93,6 +93,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--mesh_pp", type=int, default=1,
                    help="pipeline-parallel stage count (GPipe layer stages; "
                         "ops/pipeline.py)")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="microbatches per pipeline step (0 = one per stage); "
+                        "raising it shrinks the GPipe bubble (P-1)/(M+P-1); "
+                        "the per-data-shard batch must divide it")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() for multi-host pods")
@@ -143,6 +147,9 @@ def train(args) -> Dict[str, float]:
         pipeline = dataclasses.replace(
             pipeline, mm_projector_type=args.mm_projector_type)
     cfg = dataclasses.replace(cfg, pipeline=pipeline)
+    if args.pp_microbatches:
+        cfg = dataclasses.replace(cfg, lm=dataclasses.replace(
+            cfg.lm, pp_microbatches=args.pp_microbatches))
     if cfg.pipeline.tower_int8:
         # the FINAL flag value (CLI or checkpoint config.json) decides; a
         # quantized tower cannot also be trained

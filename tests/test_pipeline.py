@@ -117,6 +117,28 @@ def test_qwen2_pp_loss_path_matches_single_device():
             rtol=1e-4, atol=1e-4)
 
 
+def test_qwen2_pp_microbatch_knob():
+    """cfg.pp_microbatches > stages shrinks the bubble and still matches."""
+    cfg = LMConfig(
+        vocab_size=256, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, rope_theta=10000.0, dtype="float32", pp_microbatches=4,
+    )
+    params = qwen2.init_params(cfg, jax.random.key(2))
+    rng = np.random.default_rng(6)
+    b, s = 8, 12
+    embeds = jnp.asarray(rng.standard_normal((b, s, 32)) * 0.1, jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+
+    want, _ = qwen2.forward(params, cfg, embeds, positions)
+    with jax.set_mesh(_mesh(pp=2, data=2)):  # local batch 4 = 4 microbatches
+        got, _ = jax.jit(
+            lambda p, e: qwen2.forward(p, cfg, e, positions,
+                                       need_cache=False))(params, embeds)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_qwen2_pp_gradients_match():
     cfg = LMConfig(
         vocab_size=256, hidden_size=32, intermediate_size=64,
