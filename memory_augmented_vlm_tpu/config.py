@@ -248,7 +248,9 @@ class MeshConfig:
     parameter/optimizer sharding (ICI), `tp` for tensor parallel on 7B+,
     `sp` for sequence/context parallelism (ring attention over the ~19k-token
     128-frame prefill; ops/ring_attention.py), `pp` for pipeline parallelism
-    (GPipe layer stages; ops/pipeline.py).
+    (GPipe layer stages; ops/pipeline.py), `ep` for expert parallelism (the
+    MoE expert axis shards over (fsdp, ep); each device computes its local
+    experts for all tokens and the zero-masked weighted sum psums).
     """
 
     data: int = 1
@@ -256,7 +258,8 @@ class MeshConfig:
     tp: int = 1
     sp: int = 1
     pp: int = 1
+    ep: int = 1
 
     @property
     def num_devices(self) -> int:
-        return self.data * self.fsdp * self.tp * self.sp * self.pp
+        return self.data * self.fsdp * self.tp * self.sp * self.pp * self.ep

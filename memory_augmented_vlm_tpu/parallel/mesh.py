@@ -9,6 +9,9 @@ One 5-axis mesh covers every parallelism mode the framework uses:
              shards for long-video prefill (ops/ring_attention.py)
   - `pp`   : pipeline parallel — GPipe layer stages streaming microbatches
              over ppermute (ops/pipeline.py)
+  - `ep`   : expert parallel — the MoE expert axis shards over (fsdp, ep);
+             each device runs its local experts on every token and the
+             zero-masked weighted expert sum reduces with one psum
 
 The reference is DP-only with ZeRO-2 (scripts/zero2.json); `data x fsdp`
 subsumes that, and `tp`/`sp`/`pp` add what the reference lacks for
@@ -26,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from memory_augmented_vlm_tpu.config import MeshConfig
 
-AXES = ("data", "fsdp", "tp", "sp", "pp")
+AXES = ("data", "fsdp", "tp", "sp", "pp", "ep")
 
 
 def build_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
@@ -35,7 +38,7 @@ def build_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) 
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
     arr = np.asarray(devices[:n]).reshape(
-        cfg.data, cfg.fsdp, cfg.tp, cfg.sp, cfg.pp)
+        cfg.data, cfg.fsdp, cfg.tp, cfg.sp, cfg.pp, cfg.ep)
     return Mesh(arr, AXES)
 
 

@@ -37,14 +37,16 @@ def _lm_layer_rules() -> dict:
         "gate_proj": {"kernel": P("pp", "fsdp", "tp")},
         "up_proj": {"kernel": P("pp", "fsdp", "tp")},
         "down_proj": {"kernel": P("pp", "tp", "fsdp")},
-        # Mixtral MoE: expert axis on fsdp = expert parallelism (each device
-        # computes its experts for all tokens; the zero-masked weighted sum
-        # reduces with one psum), tp still splits the expert FFN.
+        # Mixtral/Qwen2MoE experts: the expert axis shards over (fsdp, ep) =
+        # expert parallelism (each device computes its local experts for all
+        # tokens; the zero-masked weighted sum reduces with one psum), tp
+        # still splits the expert FFN. A dedicated `ep` mesh axis keeps dense
+        # params replicated across expert ranks while experts split E-ways.
         "moe_gate": {"kernel": P("pp", "fsdp", None)},
         "experts": {
-            "gate_proj": {"kernel": P("pp", "fsdp", None, "tp")},
-            "up_proj": {"kernel": P("pp", "fsdp", None, "tp")},
-            "down_proj": {"kernel": P("pp", "fsdp", "tp", None)},
+            "gate_proj": {"kernel": P("pp", ("fsdp", "ep"), None, "tp")},
+            "up_proj": {"kernel": P("pp", ("fsdp", "ep"), None, "tp")},
+            "down_proj": {"kernel": P("pp", ("fsdp", "ep"), "tp", None)},
         },
         # Qwen2MoE shared expert: a plain dense SwiGLU beside the routed
         # experts (same layout as the dense MLP); the scalar gate replicates

@@ -93,6 +93,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--mesh_pp", type=int, default=1,
                    help="pipeline-parallel stage count (GPipe layer stages; "
                         "ops/pipeline.py)")
+    p.add_argument("--mesh_ep", type=int, default=1,
+                   help="expert-parallel size (MoE expert axis shards over "
+                        "(fsdp, ep); dense params replicate across ep)")
     p.add_argument("--pp_microbatches", type=int, default=0,
                    help="microbatches per pipeline step (0 = one per stage); "
                         "raising it shrinks the GPipe bubble (P-1)/(M+P-1); "
@@ -174,12 +177,13 @@ def train(args) -> Dict[str, float]:
     n_dev = len(jax.devices())
     fsdp = args.mesh_fsdp or max(
         1, n_dev // (args.mesh_data * args.mesh_tp * args.mesh_sp
-                     * args.mesh_pp))
+                     * args.mesh_pp * args.mesh_ep))
     mesh = build_mesh(MeshConfig(args.mesh_data, fsdp, args.mesh_tp,
-                                 args.mesh_sp, args.mesh_pp))
+                                 args.mesh_sp, args.mesh_pp, args.mesh_ep))
     params = shard_params(params, mesh)
     rank0_print(f"mesh: data={args.mesh_data} fsdp={fsdp} "
-                f"tp={args.mesh_tp} sp={args.mesh_sp} pp={args.mesh_pp}")
+                f"tp={args.mesh_tp} sp={args.mesh_sp} pp={args.mesh_pp} "
+                f"ep={args.mesh_ep}")
 
     from memory_augmented_vlm_tpu.data.preprocessing import SigLipImageProcessor
 
@@ -231,10 +235,10 @@ def train(args) -> Dict[str, float]:
     # bucketed batching: greedy queueing by bucket key
     queues: Dict[tuple, List] = defaultdict(list)
     order = rng.permutation(len(dataset))
-    # tp/sp/pp devices cooperate on the same batch rows; only data/fsdp
+    # tp/sp/pp/ep devices cooperate on the same batch rows; only data/fsdp
     # axes multiply the global batch
     bsz = (args.per_device_train_batch_size * mesh.devices.size
-           // (args.mesh_tp * args.mesh_sp * args.mesh_pp))
+           // (args.mesh_tp * args.mesh_sp * args.mesh_pp * args.mesh_ep))
     step = int(state.step)
     last = {}
     i = 0

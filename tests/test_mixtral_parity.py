@@ -101,9 +101,13 @@ def test_mixtral_decode_matches_prefill(tiny_mixtral):
     assert toks == oracle
 
 
-def test_mixtral_sharded_on_mesh(tiny_mixtral):
-    """Expert kernels place on the (data, fsdp, tp) mesh and the sharded
-    forward matches single-device."""
+@pytest.mark.parametrize("mesh_kw", [
+    dict(data=2, fsdp=2, tp=2),          # experts split over fsdp
+    dict(data=2, fsdp=1, tp=2, ep=2),    # dedicated expert-parallel axis
+], ids=["fsdp", "ep"])
+def test_mixtral_sharded_on_mesh(tiny_mixtral, mesh_kw):
+    """Expert kernels place on the mesh (expert axis over (fsdp, ep)) and
+    the sharded forward matches single-device."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -116,10 +120,18 @@ def test_mixtral_sharded_on_mesh(tiny_mixtral):
     )
 
     _, cfg, params = tiny_mixtral
-    mesh = build_mesh(MeshConfig(data=2, fsdp=2, tp=2))
+    mesh = build_mesh(MeshConfig(**mesh_kw))
     pspecs = sanitize_pspecs(lm_param_pspecs(params), params, mesh)
     assert pspecs["layers"]["experts"]["gate_proj"]["kernel"] == P(
-        "pp", "fsdp", None, "tp")  # pp is size-1 on this mesh (layer axis)
+        "pp", ("fsdp", "ep"), None, "tp")  # pp is size-1 here (layer axis)
+    if mesh_kw.get("ep", 1) > 1:
+        # the expert axis really splits across the ep ranks
+        k = jax.device_put(
+            params["layers"]["experts"]["gate_proj"]["kernel"],
+            NamedSharding(mesh,
+                          pspecs["layers"]["experts"]["gate_proj"]["kernel"]))
+        shard_e = k.addressable_shards[0].data.shape[1]
+        assert shard_e == k.shape[1] // 2
     sharded = jax.device_put(
         params, jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
                              is_leaf=lambda x: isinstance(x, P)))
