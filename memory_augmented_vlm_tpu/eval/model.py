@@ -53,12 +53,18 @@ class MavlmForCausalLM:
     """Flagship VLM with the reference's `.generate` signature."""
 
     def __init__(self, params, cfg: VLMConfig, raw_config: Optional[dict] = None,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, device_preprocess: bool = False):
         self.params = params
         self.cfg = cfg
         self.config = MavlmConfig(cfg, raw_config)
         self.dtype = dtype
         self.device = "tpu"
+        # device_preprocess: raw uint8 VIDEO frames skip the host PIL loop
+        # and are resized/normalized inside the tower jit
+        # (ops/preprocess.py) — same kernel math as PIL bicubic, minus its
+        # uint8 requantize; opt-in because the host path is the bit-exact
+        # reference parity surface.
+        self.device_preprocess = device_preprocess
 
     def eval(self):
         return self
@@ -260,7 +266,10 @@ class MavlmForCausalLM:
             # raw (uint8) inputs get the reference's process_images treatment
             # here; pre-normalized inputs must already be tower-sized tiles
             s = self.cfg.vision.image_size
-            if pixels.dtype == np.uint8:
+            if (pixels.dtype == np.uint8 and modalities[0] == "video"
+                    and self.device_preprocess):
+                pass  # raw bytes to the chip; resize+normalize in the tower jit
+            elif pixels.dtype == np.uint8:
                 from memory_augmented_vlm_tpu.data.preprocessing import (
                     SigLipImageProcessor,
                     process_anyres_image,

@@ -38,6 +38,7 @@ from memory_augmented_vlm_tpu.models import qwen2
 from memory_augmented_vlm_tpu.models import sampling
 from memory_augmented_vlm_tpu.models.position_encoding import add_temporal_pe
 from memory_augmented_vlm_tpu.models.position_encoding import init_params as pe_init
+from memory_augmented_vlm_tpu.ops import preprocess as preprocess_ops
 from memory_augmented_vlm_tpu.ops.pooling import spatial_pool_2x2
 
 
@@ -579,7 +580,16 @@ def _encode_and_fuse(params, cfg, frames, frame_indices, frame_valid,
                      fine_idx, nseg, drop_fine_frames):
     """One compiled graph for tower + fusion — eval/serving calls would
     otherwise run the 26-layer tower eagerly (each op a ~28 ms relay
-    dispatch on this setup). Recompiles are bounded by frame buckets."""
+    dispatch on this setup). Recompiles are bounded by frame buckets.
+
+    Frames arriving as uint8 take the device-preprocess path
+    (ops/preprocess.py): resize + rescale + normalize run in-graph, so the
+    host ships raw decoded bytes instead of running the PIL loop."""
+    if frames.dtype == jnp.uint8:
+        s = cfg.vision.image_size
+        frames = preprocess_ops.preprocess_frames(
+            frames, size=(s, s),
+            dtype=jnp.bfloat16 if cfg.lm.dtype == "bfloat16" else jnp.float32)
     feats = encode_frames(params, cfg, frames)
     return build_video_embeds(
         params, cfg, feats, frame_indices, frame_valid, fine_idx, nseg,
@@ -590,7 +600,9 @@ def _encode_and_fuse(params, cfg, frames, frame_indices, frame_valid,
 def video_qa_embeds(
     params,
     cfg: VLMConfig,
-    pixels: np.ndarray,          # (F0, 384, 384, 3) preprocessed frames
+    pixels: np.ndarray,          # (F0, 384, 384, 3) preprocessed frames,
+                                 # or raw (F0, H, W, 3) uint8 for the
+                                 # device-preprocess path (ops/preprocess.py)
     input_ids: np.ndarray,       # (S,) with exactly one IMAGE_TOKEN_INDEX
     *,
     training_drop_frames: bool = False,
@@ -612,6 +624,8 @@ def video_qa_embeds(
     fine_idx = fine_frame_indices(f1, cfg.memory.num_fine_frames)
 
     dtype = jnp.bfloat16 if cfg.lm.dtype == "bfloat16" else jnp.float32
+    if frames.dtype == np.uint8:
+        dtype = jnp.uint8  # ship raw bytes; _encode_and_fuse resizes+normalizes
     visual = _encode_and_fuse(
         params, cfg, jnp.asarray(frames, dtype), jnp.asarray(frame_indices),
         jnp.asarray(frame_valid), jnp.asarray(fine_idx), nseg,
