@@ -182,6 +182,7 @@ def load_pretrained_model(
     load_8bit: bool = False,
     load_4bit: bool = False,
     overwrite_config: Optional[dict] = None,
+    device_preprocess: bool = False,
     **kwargs,
 ) -> Tuple[object, MavlmForCausalLM, SigLipImageProcessor, int]:
     """Load an HF-format checkpoint directory into the TPU-native model.
@@ -289,7 +290,8 @@ def load_pretrained_model(
 
     image_processor = SigLipImageProcessor(
         size=(cfg.vision.image_size, cfg.vision.image_size))
-    model = MavlmForCausalLM(params, cfg, raw_config=raw, dtype=dtype)
+    model = MavlmForCausalLM(params, cfg, raw_config=raw, dtype=dtype,
+                             device_preprocess=device_preprocess)
 
     context_len = (
         raw.get("max_sequence_length")

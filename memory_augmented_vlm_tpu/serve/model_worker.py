@@ -31,15 +31,21 @@ logger = build_logger("model_worker")
 class ModelWorker:
     def __init__(self, controller_addr: Optional[str], worker_addr: str,
                  model_path: str, model_name: Optional[str] = None,
-                 limit_model_concurrency: int = 5, register: bool = True):
+                 limit_model_concurrency: int = 5, register: bool = True,
+                 device_preprocess: bool = False):
         from memory_augmented_vlm_tpu.eval.builder import load_pretrained_model
 
         self.worker_id = str(uuid.uuid4())[:6]
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.model_name = model_name or model_path.rstrip("/").split("/")[-1]
+        # device_preprocess: video frame stacks skip the host PIL loop and
+        # are resized/normalized inside the tower jit (ops/preprocess.py)
+        self.device_preprocess = device_preprocess
         (self.tokenizer, self.model, self.image_processor,
-         self.context_len) = load_pretrained_model(model_path, None, self.model_name)
+         self.context_len) = load_pretrained_model(
+             model_path, None, self.model_name,
+             device_preprocess=device_preprocess)
         self.semaphore = threading.Semaphore(limit_model_concurrency)
         self.queue_length = 0
         if register and controller_addr:
@@ -96,10 +102,19 @@ class ModelWorker:
 
                     imgs = [Image.open(io.BytesIO(base64.b64decode(b)))
                             for b in images_b64]
-                    pixels = self.image_processor.preprocess(
-                        imgs[0] if len(imgs) == 1 else np.stack(
-                            [np.asarray(i.convert("RGB")) for i in imgs]))
                     modality = "video" if len(imgs) > 1 else "image"
+                    if (modality == "video" and self.device_preprocess
+                            and len({i.size for i in imgs}) == 1):
+                        # raw uint8 to the chip; resize+normalize in-jit
+                        # (mixed frame sizes fall back to the host loop —
+                        # a raw stack needs one shape)
+                        pixels = np.stack(
+                            [np.asarray(i.convert("RGB")) for i in imgs])
+                    else:
+                        # list input: the processor resizes each frame to
+                        # tower size BEFORE stacking (mixed-size payloads)
+                        pixels = self.image_processor.preprocess(
+                            imgs[0] if len(imgs) == 1 else imgs)
                 temperature = float(params.get("temperature", 0.0))
                 top_p = params.get("top_p")
                 # `stop` string stops inside the jitted decode loop

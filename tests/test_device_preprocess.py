@@ -76,6 +76,54 @@ def test_uint8_video_path_end_to_end(rng):
     assert rel < 0.15, rel
 
 
+def test_worker_device_preprocess_video(rng, tmp_path):
+    """ModelWorker(device_preprocess=True) streams a base64 video payload
+    through the raw-uint8 device path."""
+    import base64
+    import io
+    import json
+
+    from PIL import Image
+
+    from tests.test_builder_roundtrip import ckpt_dir
+    from memory_augmented_vlm_tpu.serve.model_worker import ModelWorker
+
+    class F:
+        def mktemp(self, name):
+            p = tmp_path / name
+            p.mkdir()
+            return p
+
+    d = ckpt_dir.__wrapped__(F())
+    worker = ModelWorker(None, "local", str(d), model_name="t",
+                         register=False, device_preprocess=True)
+    images = []
+    for _ in range(3):
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 255, (40, 30, 3), dtype=np.uint8)).save(
+                buf, format="PNG")
+        images.append(base64.b64encode(buf.getvalue()).decode())
+    chunks = list(worker.generate_stream({
+        "prompt": "<image>\ndescribe", "images": images,
+        "max_new_tokens": 3}))
+    out = json.loads(chunks[-1].rstrip(b"\0"))
+    assert out["error_code"] == 0
+
+    # mixed frame sizes fall back to the host processor (which resizes
+    # each frame BEFORE stacking) instead of crashing on a ragged stack
+    buf = io.BytesIO()
+    Image.fromarray(
+        rng.integers(0, 256, (56, 56, 3), dtype=np.uint8)).save(
+            buf, format="PNG")
+    mixed = images + [base64.b64encode(buf.getvalue()).decode()]
+    chunks = list(worker.generate_stream({
+        "prompt": "<image>\ndescribe", "images": mixed,
+        "max_new_tokens": 3}))
+    out = json.loads(chunks[-1].rstrip(b"\0"))
+    assert out["error_code"] == 0
+
+
 def test_eval_generate_device_preprocess(rng):
     """MavlmForCausalLM(device_preprocess=True) ships raw uint8 video
     frames straight to the chip and still generates."""
