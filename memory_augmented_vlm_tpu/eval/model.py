@@ -269,6 +269,18 @@ class MavlmForCausalLM:
             if (pixels.dtype == np.uint8 and modalities[0] == "video"
                     and self.device_preprocess):
                 pass  # raw bytes to the chip; resize+normalize in the tower jit
+            elif (pixels.dtype == np.uint8 and self.device_preprocess
+                    and modalities[0] != "video"
+                    and self.cfg.pipeline.image_aspect_ratio.startswith("anyres")):
+                from memory_augmented_vlm_tpu.ops.preprocess import (
+                    preprocess_anyres_image,
+                )
+
+                pixels, auto_size = preprocess_anyres_image(
+                    pixels[0], self.cfg.pipeline.image_grid_pinpoints,
+                    size=(s, s), dtype=self.dtype)
+                if not image_sizes:
+                    image_sizes = [auto_size]
             elif pixels.dtype == np.uint8:
                 from memory_augmented_vlm_tpu.data.preprocessing import (
                     SigLipImageProcessor,

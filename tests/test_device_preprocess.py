@@ -76,6 +76,56 @@ def test_uint8_video_path_end_to_end(rng):
     assert rel < 0.15, rel
 
 
+def test_anyres_device_matches_host(rng):
+    """preprocess_anyres_image (device) mirrors process_anyres_image
+    (host PIL) geometry exactly and values within the quantization
+    envelope."""
+    from PIL import Image
+
+    from memory_augmented_vlm_tpu.data.preprocessing import (
+        process_anyres_image,
+    )
+    from memory_augmented_vlm_tpu.ops.preprocess import (
+        preprocess_anyres_image,
+    )
+
+    img_u8 = rng.integers(0, 256, (500, 700, 3), dtype=np.uint8)
+    proc = SigLipImageProcessor()
+    host, host_size = process_anyres_image(
+        Image.fromarray(img_u8), proc, "(1x1),...,(3x3)")
+    dev, dev_size = preprocess_anyres_image(
+        img_u8, "(1x1),...,(3x3)", dtype=jnp.float32)
+    assert host_size == dev_size == (700, 500)
+    assert host.shape == dev.shape
+    diff = np.abs(np.asarray(dev) - host)
+    assert np.mean(diff) < 0.015, np.mean(diff)
+    assert np.quantile(diff, 0.99) < 0.08, np.quantile(diff, 0.99)
+
+
+def test_anyres_device_generate(rng):
+    """generate() with device_preprocess=True runs the anyres image path
+    fully on-device."""
+    import dataclasses
+
+    from memory_augmented_vlm_tpu import constants
+    from memory_augmented_vlm_tpu.eval.model import MavlmForCausalLM
+    from memory_augmented_vlm_tpu.models import vlm
+    from tests.test_vlm import TINY
+
+    cfg = dataclasses.replace(
+        TINY, pipeline=dataclasses.replace(
+            TINY.pipeline, image_aspect_ratio="anyres_max_9",
+            image_grid_pinpoints="(1x1),...,(2x2)"))
+    params = vlm.init_params(cfg, jax.random.key(0))
+    model = MavlmForCausalLM(params, cfg, dtype=jnp.float32,
+                             device_preprocess=True)
+    ids = np.array([[10, constants.IMAGE_TOKEN_INDEX, 12]])
+    img = rng.integers(0, 256, (90, 70, 3), dtype=np.uint8)
+    out = model.generate(ids, images=[img[None]], modalities=["image"],
+                         max_new_tokens=3, eos_token_id=49999)
+    assert out.shape[0] == 1 and out.shape[1] <= 3
+
+
 def test_worker_device_preprocess_video(rng, tmp_path):
     """ModelWorker(device_preprocess=True) streams a base64 video payload
     through the raw-uint8 device path."""
