@@ -36,20 +36,41 @@ from memory_augmented_vlm_tpu.ops.rope import apply_rope, compute_rope_freqs, ro
 
 
 class KVCache(NamedTuple):
-    """Static-shape KV cache carried through the decode loop."""
+    """Static-shape KV cache carried through the decode loop.
+
+    When `k`/`v` are int8 (serving `kv_int8` mode, halving the cache HBM
+    footprint and decode read traffic), each (layer, row, position, head)
+    Dh-vector carries a per-row fp32 scale in `k_scale`/`v_scale`;
+    dequantization fuses into the decode attention einsums."""
 
     k: jax.Array  # (L, B, Smax, Hkv, Dh)
     v: jax.Array  # (L, B, Smax, Hkv, Dh)
     length: jax.Array  # (B,) int32 — number of valid positions per sequence
+    k_scale: Optional[jax.Array] = None  # (L, B, Smax, Hkv) fp32, int8 mode
+    v_scale: Optional[jax.Array] = None
 
     @staticmethod
     def zeros(cfg: LMConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
         shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        scales = None
+        if dtype == jnp.int8:
+            scales = jnp.zeros(shape[:-1], jnp.float32)
         return KVCache(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
             length=jnp.zeros((batch,), jnp.int32),
+            k_scale=scales,
+            v_scale=scales,
         )
+
+
+def quantize_kv_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-row int8 quantization over the last (head_dim) axis:
+    (..., D) -> ((..., D) int8, (...) fp32 scale)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def _maybe_bias(kernel, bias_shape, cfg, dtype):
@@ -538,13 +559,18 @@ def decode_step(
         cos, sin = rope_cos_sin(pos[:, None], inv_freq)
 
     lp_all = params["layers"]
+    quant = cache.k.dtype == jnp.int8
+    act_dtype = token_embeds.dtype
 
     def layer_body(l, carry):
         # fori_loop + dynamic_update_slice keeps the (L, B, Smax, Hkv, Dh)
         # cache update in place; the previous scan-over-layers stacked fresh
         # (k, v) ys, which re-wrote the whole cache every token (measured
         # 3.31 -> 2.75 ms/token at 0.5B / 9.6k context)
-        hidden, kc, vc = carry
+        if quant:
+            hidden, kc, vc, ksc, vsc = carry
+        else:
+            hidden, kc, vc = carry
         lp = jax.tree.map(
             lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
             lp_all)
@@ -554,15 +580,35 @@ def decode_step(
         if not use_alibi:
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
+        if quant:
+            k, k_s = quantize_kv_rows(k)  # (B, 1, Hkv, D), (B, 1, Hkv)
+            v, v_s = quantize_kv_rows(v)
         if b == 1:
             kc = jax.lax.dynamic_update_slice(kc, k[None], (l, 0, pos[0], 0, 0))
             vc = jax.lax.dynamic_update_slice(vc, v[None], (l, 0, pos[0], 0, 0))
+            if quant:
+                ksc = jax.lax.dynamic_update_slice(
+                    ksc, k_s[None], (l, 0, pos[0], 0))
+                vsc = jax.lax.dynamic_update_slice(
+                    vsc, v_s[None], (l, 0, pos[0], 0))
         else:
             batch_idx = jnp.arange(b)
             kc = kc.at[l, batch_idx, pos].set(k[:, 0])
             vc = vc.at[l, batch_idx, pos].set(v[:, 0])
+            if quant:
+                ksc = ksc.at[l, batch_idx, pos].set(k_s[:, 0])
+                vsc = vsc.at[l, batch_idx, pos].set(v_s[:, 0])
         layer_k = jax.lax.dynamic_index_in_dim(kc, l, 0, keepdims=False)
         layer_v = jax.lax.dynamic_index_in_dim(vc, l, 0, keepdims=False)
+        if quant:
+            # dequant fuses into the attention einsums (XLA folds the
+            # convert+scale into the dot operands); HBM still reads int8
+            k_sl = jax.lax.dynamic_index_in_dim(ksc, l, 0, keepdims=False)
+            v_sl = jax.lax.dynamic_index_in_dim(vsc, l, 0, keepdims=False)
+            layer_k = (layer_k.astype(jnp.float32)
+                       * k_sl[..., None]).astype(act_dtype)
+            layer_v = (layer_v.astype(jnp.float32)
+                       * v_sl[..., None]).astype(act_dtype)
         attn = decode_attention(q, layer_k, layer_v, pos + 1,
                                 kv_groups=cfg.kv_groups,
                                 bias=alibi_bias if use_alibi else None)
@@ -572,9 +618,19 @@ def decode_step(
         residual = hidden
         x = _norm(hidden, lp["post_attention_layernorm"], cfg)
         hidden = residual + _layer_mlp(lp, x, cfg.mlp_act, cfg)
+        if quant:
+            return hidden, kc, vc, ksc, vsc
         return hidden, kc, vc
 
-    hidden, new_k, new_v = jax.lax.fori_loop(
-        0, cfg.num_hidden_layers, layer_body, (token_embeds, cache.k, cache.v))
+    if quant:
+        hidden, new_k, new_v, new_ks, new_vs = jax.lax.fori_loop(
+            0, cfg.num_hidden_layers, layer_body,
+            (token_embeds, cache.k, cache.v, cache.k_scale, cache.v_scale))
+    else:
+        hidden, new_k, new_v = jax.lax.fori_loop(
+            0, cfg.num_hidden_layers, layer_body,
+            (token_embeds, cache.k, cache.v))
+        new_ks = new_vs = None
     hidden = _norm(hidden, params["norm"], cfg)
-    return hidden, KVCache(k=new_k, v=new_v, length=cache.length + 1)
+    return hidden, KVCache(k=new_k, v=new_v, length=cache.length + 1,
+                           k_scale=new_ks, v_scale=new_vs)

@@ -38,12 +38,14 @@ logger = build_logger("batch_engine")
 
 
 def _prefill_into_slot(params, cfg: VLMConfig, embeds, valid_len, slot,
-                       cache_k, cache_v, cache_len, *, max_len: int):
+                       cache, *, max_len: int):
     """Prefill one request (embeds (1, Sp, H) right-padded) and write its
-    K/V into `slot` of the batched cache. Returns (first logits row, k, v,
-    len). `cache_max_len=max_len` keeps the RoPE basis identical between
+    K/V into `slot` of the batched cache. Returns (first logits row, cache).
+    `cache_max_len=max_len` keeps the RoPE basis identical between
     this prefill and later decode steps (qwen2.forward's dynamic-NTK
-    invariant: both must derive frequencies from the same cache bound)."""
+    invariant: both must derive frequencies from the same cache bound).
+    An int8 cache (kv_int8 serving mode) quantizes the prefill K/V per
+    (position, head) row on write."""
     lm = params["language_model"]
     hidden, pre_cache = qwen2.forward(
         lm, cfg.lm, embeds, jnp.arange(embeds.shape[1])[None],
@@ -52,15 +54,23 @@ def _prefill_into_slot(params, cfg: VLMConfig, embeds, valid_len, slot,
     last = jnp.take_along_axis(hidden, (valid_len - 1)[:, None, None], axis=1)
     logits = qwen2.unembed(lm, cfg.lm, last)[0, 0]          # (V,)
     # write the (L, 1, max_len, Hkv, Dh) prefill K/V into the slot
+    k, v = pre_cache.k, pre_cache.v
+    k_scale, v_scale = cache.k_scale, cache.v_scale
+    if cache.k.dtype == jnp.int8:
+        k, k_s = qwen2.quantize_kv_rows(k)
+        v, v_s = qwen2.quantize_kv_rows(v)
+        k_scale = jax.lax.dynamic_update_slice(k_scale, k_s, (0, slot, 0, 0))
+        v_scale = jax.lax.dynamic_update_slice(v_scale, v_s, (0, slot, 0, 0))
     cache_k = jax.lax.dynamic_update_slice(
-        cache_k, pre_cache.k.astype(cache_k.dtype), (0, slot, 0, 0, 0))
+        cache.k, k.astype(cache.k.dtype), (0, slot, 0, 0, 0))
     cache_v = jax.lax.dynamic_update_slice(
-        cache_v, pre_cache.v.astype(cache_v.dtype), (0, slot, 0, 0, 0))
-    cache_len = cache_len.at[slot].set(valid_len[0])
-    return logits, cache_k, cache_v, cache_len
+        cache.v, v.astype(cache.v.dtype), (0, slot, 0, 0, 0))
+    cache_len = cache.length.at[slot].set(valid_len[0])
+    return logits, qwen2.KVCache(k=cache_k, v=cache_v, length=cache_len,
+                                 k_scale=k_scale, v_scale=v_scale)
 
 
-def _decode_step(params, cfg: VLMConfig, logits, cache_k, cache_v, cache_len,
+def _decode_step(params, cfg: VLMConfig, logits, cache,
                  active, temps, top_ps, rng):
     """One token for every slot. Inactive slots decode garbage into their own
     row (cheap; the row is re-prefilled on reuse) but never affect others.
@@ -86,11 +96,11 @@ def _decode_step(params, cfg: VLMConfig, logits, cache_k, cache_v, cache_len,
     sampled = jax.random.categorical(rng, warped, axis=-1).astype(jnp.int32)
     tok = jnp.where(temps > 0, sampled, greedy)
     tok = jnp.where(active, tok, 0)
-    emb = qwen2.embed_tokens(lm, tok[:, None], cfg.lm).astype(cache_k.dtype)
-    cache = qwen2.KVCache(k=cache_k, v=cache_v, length=cache_len)
+    act_dtype = jnp.bfloat16 if cfg.lm.dtype == "bfloat16" else jnp.float32
+    emb = qwen2.embed_tokens(lm, tok[:, None], cfg.lm).astype(act_dtype)
     hidden, cache = qwen2.decode_step(lm, cfg.lm, emb, cache)
     new_logits = qwen2.unembed(lm, cfg.lm, hidden)[:, 0]
-    return tok, new_logits, cache.k, cache.v, cache.length
+    return tok, new_logits, cache
 
 
 @dataclass
@@ -122,15 +132,20 @@ class BatchEngine:
     """Continuous-batching generation over a fixed slot pool."""
 
     def __init__(self, params, cfg: VLMConfig, *, num_slots: int = 4,
-                 max_len: int = 2048, pad_to_multiple: int = 128):
+                 max_len: int = 2048, pad_to_multiple: int = 128,
+                 kv_int8: bool = False):
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
         self.max_len = max_len
         self.pad = pad_to_multiple
-        dtype = jnp.bfloat16 if cfg.lm.dtype == "bfloat16" else jnp.float32
-        cache = qwen2.KVCache.zeros(cfg.lm, num_slots, max_len, dtype)
-        self._k, self._v, self._len = cache.k, cache.v, cache.length
+        self._dtype = jnp.bfloat16 if cfg.lm.dtype == "bfloat16" else jnp.float32
+        # kv_int8 halves the slot-pool cache footprint + decode-read HBM
+        # traffic (per-row symmetric int8, qwen2.quantize_kv_rows) — the
+        # lever for more slots / longer contexts per chip
+        cache_dtype = jnp.int8 if kv_int8 else self._dtype
+        self._cache = qwen2.KVCache.zeros(cfg.lm, num_slots, max_len,
+                                          cache_dtype)
         self._logits = jnp.zeros((num_slots, cfg.lm.vocab_size), jnp.float32)
         self._temps = jnp.zeros((num_slots,), jnp.float32)
         self._topps = jnp.ones((num_slots,), jnp.float32)
@@ -200,11 +215,11 @@ class BatchEngine:
                     continue
                 sp = min(((s + self.pad - 1) // self.pad) * self.pad,
                          self.max_len)
-                emb = jnp.pad(jnp.asarray(req.embeds, self._k.dtype),
+                emb = jnp.pad(jnp.asarray(req.embeds, self._dtype),
                               ((0, sp - s), (0, 0)))[None]
-                logits_row, self._k, self._v, self._len = self._prefill(
+                logits_row, self._cache = self._prefill(
                     self.params, self.cfg, emb, jnp.asarray([s], jnp.int32),
-                    slot, self._k, self._v, self._len)
+                    slot, self._cache)
             except Exception:  # noqa: BLE001 — release THIS caller, keep serving
                 logger.exception("batch-engine admit failed; request dropped")
                 req.out.put(None)
@@ -233,9 +248,9 @@ class BatchEngine:
             return
         active = jnp.asarray([r is not None for r in self._slots])
         self._rng, sub = jax.random.split(self._rng)
-        tok, self._logits, self._k, self._v, self._len = self._step(
-            self.params, self.cfg, self._logits, self._k, self._v,
-            self._len, active, self._temps, self._topps, sub)
+        tok, self._logits, self._cache = self._step(
+            self.params, self.cfg, self._logits, self._cache,
+            active, self._temps, self._topps, sub)
         toks = np.asarray(tok)
         for slot, req in enumerate(self._slots):
             if req is None:
@@ -247,6 +262,6 @@ class BatchEngine:
             req.out.put(np.asarray([t], np.int32))
             req.emitted += 1
             if done or req.emitted >= req.max_new_tokens or (
-                    int(self._len[slot]) >= self.max_len):
+                    int(self._cache.length[slot]) >= self.max_len):
                 req.out.put(None)
                 self._slots[slot] = None

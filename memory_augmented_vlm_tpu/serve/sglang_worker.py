@@ -35,10 +35,13 @@ class SGLangWorker(ModelWorker):
     """ModelWorker with the generate path swapped for the batch engine."""
 
     def __init__(self, *args, num_slots: int = 4, max_len: int = 4096,
-                 **kwargs):
+                 kv_int8: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
+        # kv_int8 halves the slot-pool cache footprint — the lever for more
+        # concurrent long-video contexts per chip (BatchEngine docstring)
         self.engine = BatchEngine(self.model.params, self.model.cfg,
-                                  num_slots=num_slots, max_len=max_len).start()
+                                  num_slots=num_slots, max_len=max_len,
+                                  kv_int8=kv_int8).start()
 
     def generate_stream(self, params: dict):
         self.queue_length += 1

@@ -124,3 +124,50 @@ def test_engine_stop_sequences(tiny):
         assert len(want) < len(full)  # the stop actually truncated
     finally:
         engine.shutdown()
+
+
+def test_kv_int8_greedy_matches_bf16_engine(tiny):
+    """kv_int8 serving mode: the int8 slot-pool cache (half the HBM
+    footprint) must reproduce the full-precision engine's greedy tokens on
+    a well-separated random model, across staggered admission."""
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=2, max_len=256,
+                         kv_int8=True).start()
+    try:
+        assert engine._cache.k.dtype == jnp.int8
+        assert engine._cache.k_scale is not None
+        rng = np.random.default_rng(7)
+        prompts = [rng.integers(0, 1000, size=(n,)) for n in (5, 3, 6)]
+        want = [_reference(params, cfg, p, 8) for p in prompts]
+        results = [None] * len(prompts)
+
+        def run(i):
+            results[i] = engine.generate(_embeds(params, prompts[i]),
+                                         max_new_tokens=8,
+                                         eos_token_ids=(49999,))
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(prompts))]
+        for i, t in enumerate(threads):
+            t.start()
+            if i == 0:
+                time.sleep(0.05)
+        for t in threads:
+            t.join(timeout=180)
+        for i, (got, exp) in enumerate(zip(results, want)):
+            assert got is not None, f"request {i} timed out"
+            np.testing.assert_array_equal(got, exp, err_msg=f"request {i}")
+    finally:
+        engine.shutdown()
+
+
+def test_quantize_kv_rows_roundtrip():
+    """Per-row symmetric int8: dequant error bounded by scale/2 per
+    element (0.4% of the row max)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 4, 3, 16)), jnp.float32)
+    q, s = qwen2.quantize_kv_rows(x)
+    assert q.dtype == jnp.int8 and s.shape == x.shape[:-1]
+    deq = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+    err = np.abs(deq - np.asarray(x))
+    assert err.max() <= np.asarray(s).max() * 0.51
