@@ -70,6 +70,117 @@ def _prefill_into_slot(params, cfg: VLMConfig, embeds, valid_len, slot,
                                  k_scale=k_scale, v_scale=v_scale)
 
 
+def _prefill_chunk_into_slot(params, cfg: VLMConfig, emb_chunk, off,
+                             chunk_valid, slot, cache, *, max_len: int):
+    """One chunk of a CHUNKED prefill: C tokens at global offset `off` for
+    `slot`, attending to the slot's already-written cache prefix [0, off)
+    plus causally within the chunk. Keeps admission of long (video) prompts
+    from stalling other slots' decoding for a whole-prompt prefill — the
+    engine interleaves one decode step per chunk (vLLM-class chunked
+    prefill; the reference's sglang runtime has no equivalent).
+
+    emb_chunk: (1, C, H) right-padded; chunk_valid: scalar int32 valid rows
+    (C for every chunk but the last). Only the LAST chunk may be partial —
+    the prefix rows [0, off) must all be valid tokens. Returns
+    (last-valid-row logits, cache with rows [off, off+C) written and
+    length[slot] = off + chunk_valid).
+
+    RoPE frequencies derive from the same `max_len` cache bound as the
+    one-shot prefill and decode steps (dynamic-NTK invariant)."""
+    lm = params["language_model"]
+    lmc = cfg.lm
+    if lmc.position_embedding == "alibi":
+        raise NotImplementedError("chunked prefill requires RoPE positions")
+    b, c, _ = emb_chunk.shape
+    smax = cache.k.shape[2]
+    inv_freq = qwen2.compute_rope_freqs(
+        lmc.head_dim, lmc.rope_theta,
+        scaling_type=lmc.rope_scaling_type,
+        scaling_factor=lmc.rope_scaling_factor,
+        max_position_embeddings=lmc.max_position_embeddings,
+        seq_len=max_len,
+    )
+    qpos = off + jnp.arange(c)
+    cos, sin = qwen2.rope_cos_sin(qpos[None], inv_freq)
+    # keys visible to query row i: every cache position <= off + i (the
+    # valid prefix plus the chunk's own causal triangle); pad query rows
+    # (i >= chunk_valid) produce garbage that is never read
+    mask = (jnp.arange(smax)[None, :] <= qpos[:, None])[None, None]
+    quant = cache.k.dtype == jnp.int8
+    act_dtype = emb_chunk.dtype
+    lp_all = lm["layers"]
+
+    def layer_body(l, carry):
+        if quant:
+            hidden, kc, vc, ksc, vsc = carry
+        else:
+            hidden, kc, vc = carry
+        lp = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+            lp_all)
+        residual = hidden
+        x = qwen2._norm(hidden, lp["input_layernorm"], lmc)
+        q, k, v = qwen2._qkv(lp, lmc, x)
+        q = qwen2.apply_rope(q, cos, sin)
+        k = qwen2.apply_rope(k, cos, sin)
+        if quant:
+            k_w, k_s = qwen2.quantize_kv_rows(k)
+            v_w, v_s = qwen2.quantize_kv_rows(v)
+            ksc = jax.lax.dynamic_update_slice(ksc, k_s[None],
+                                               (l, slot, off, 0))
+            vsc = jax.lax.dynamic_update_slice(vsc, v_s[None],
+                                               (l, slot, off, 0))
+        else:
+            k_w, v_w = k.astype(kc.dtype), v.astype(vc.dtype)
+        kc = jax.lax.dynamic_update_slice(kc, k_w[None], (l, slot, off, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v_w[None], (l, slot, off, 0, 0))
+        layer_k = jax.lax.dynamic_index_in_dim(
+            jax.lax.dynamic_index_in_dim(kc, l, 0, keepdims=False),
+            slot, 0, keepdims=True)                     # (1, Smax, Hkv, D)
+        layer_v = jax.lax.dynamic_index_in_dim(
+            jax.lax.dynamic_index_in_dim(vc, l, 0, keepdims=False),
+            slot, 0, keepdims=True)
+        if quant:
+            k_sl = jax.lax.dynamic_index_in_dim(
+                jax.lax.dynamic_index_in_dim(ksc, l, 0, keepdims=False),
+                slot, 0, keepdims=True)
+            v_sl = jax.lax.dynamic_index_in_dim(
+                jax.lax.dynamic_index_in_dim(vsc, l, 0, keepdims=False),
+                slot, 0, keepdims=True)
+            layer_k = (layer_k.astype(jnp.float32)
+                       * k_sl[..., None]).astype(act_dtype)
+            layer_v = (layer_v.astype(jnp.float32)
+                       * v_sl[..., None]).astype(act_dtype)
+        kq = qwen2.repeat_kv(layer_k, lmc.kv_groups)
+        vq = qwen2.repeat_kv(layer_v, lmc.kv_groups)
+        attn = qwen2.mha_attention(q, kq, vq, mask=mask)
+        hidden = residual + qwen2._proj(lp["o_proj"],
+                                        attn.reshape(b, c, -1))
+        residual = hidden
+        x = qwen2._norm(hidden, lp["post_attention_layernorm"], lmc)
+        hidden = residual + qwen2._layer_mlp(lp, x, lmc.mlp_act, lmc)
+        if quant:
+            return hidden, kc, vc, ksc, vsc
+        return hidden, kc, vc
+
+    if quant:
+        carry = (emb_chunk, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        hidden, kc, vc, ksc, vsc = jax.lax.fori_loop(
+            0, lmc.num_hidden_layers, layer_body, carry)
+    else:
+        hidden, kc, vc = jax.lax.fori_loop(
+            0, lmc.num_hidden_layers, layer_body,
+            (emb_chunk, cache.k, cache.v))
+        ksc, vsc = cache.k_scale, cache.v_scale
+    hidden = qwen2._norm(hidden, lm["norm"], lmc)
+    last = jax.lax.dynamic_index_in_dim(
+        hidden[0], chunk_valid - 1, 0, keepdims=True)
+    logits = qwen2.unembed(lm, lmc, last[None])[0, 0]
+    length = cache.length.at[slot].set(off + chunk_valid)
+    return logits, qwen2.KVCache(k=kc, v=vc, length=length,
+                                 k_scale=ksc, v_scale=vsc)
+
+
 def _decode_step(params, cfg: VLMConfig, logits, cache,
                  active, temps, top_ps, rng):
     """One token for every slot. Inactive slots decode garbage into their own
@@ -133,7 +244,7 @@ class BatchEngine:
 
     def __init__(self, params, cfg: VLMConfig, *, num_slots: int = 4,
                  max_len: int = 2048, pad_to_multiple: int = 128,
-                 kv_int8: bool = False):
+                 kv_int8: bool = False, chunk_prefill: int = 0):
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
@@ -154,6 +265,15 @@ class BatchEngine:
             functools.partial(_prefill_into_slot, max_len=max_len),
             static_argnames=("cfg",))
         self._step = jax.jit(_decode_step, static_argnames=("cfg",))
+        # chunk_prefill > 0: prompts longer than the chunk prefill
+        # incrementally (one chunk per tick) so admission of a long video
+        # prompt never stalls active slots for a whole-prompt prefill
+        self.chunk_prefill = int(chunk_prefill)
+        if self.chunk_prefill:
+            self._chunk = jax.jit(
+                functools.partial(_prefill_chunk_into_slot, max_len=max_len),
+                static_argnames=("cfg",))
+        self._pending: Optional[Tuple[_Request, int, int]] = None  # req, slot, off
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._slots: List[Optional[_Request]] = [None] * num_slots
         self._stop = threading.Event()
@@ -199,6 +319,8 @@ class BatchEngine:
 
     # -- engine loop ----------------------------------------------------------
     def _admit(self):
+        if self._pending is not None:
+            return  # finish the in-flight chunked admission first
         for slot in range(self.num_slots):
             if self._slots[slot] is not None:
                 continue
@@ -213,6 +335,14 @@ class BatchEngine:
                     # the engine thread (callers block on the sentinel)
                     req.out.put(None)
                     continue
+                if self.chunk_prefill and s > self.chunk_prefill:
+                    # claim the slot; chunks advance one per tick so the
+                    # decode step for active slots interleaves with this
+                    # prompt's prefill
+                    req.slot = slot
+                    self._slots[slot] = req
+                    self._pending = (req, slot, 0)
+                    return
                 sp = min(((s + self.pad - 1) // self.pad) * self.pad,
                          self.max_len)
                 emb = jnp.pad(jnp.asarray(req.embeds, self._dtype),
@@ -236,24 +366,61 @@ class BatchEngine:
                 self._tick()
             except Exception:  # noqa: BLE001 — never strand blocked callers
                 logger.exception("batch-engine step failed; resetting slots")
+                self._pending = None
                 for slot, req in enumerate(self._slots):
                     if req is not None:
                         req.out.put(None)
                         self._slots[slot] = None
 
+    def _advance_chunk(self):
+        """Advance an in-flight chunked admission by ONE chunk. The slot's
+        decode-garbage row (inactive slots still decode into their own row)
+        lands exactly at the next chunk's first position, so each chunk
+        write overwrites it; the chunk call re-pins length[slot]."""
+        if self._pending is None:
+            return
+        req, slot, off = self._pending
+        try:
+            s = req.embeds.shape[0]
+            c = self.chunk_prefill
+            chunk = req.embeds[off:off + c]
+            cv = chunk.shape[0]
+            emb = jnp.pad(jnp.asarray(chunk, self._dtype),
+                          ((0, c - cv), (0, 0)))[None]
+            logits_row, self._cache = self._chunk(
+                self.params, self.cfg, emb, off, cv, slot, self._cache)
+        except Exception:  # noqa: BLE001 — release THIS caller, keep serving
+            logger.exception("batch-engine chunk prefill failed; dropped")
+            req.out.put(None)
+            self._slots[slot] = None
+            self._pending = None
+            return
+        if off + cv >= s:
+            # final chunk: activate the slot
+            self._logits = self._logits.at[slot].set(logits_row)
+            self._temps = self._temps.at[slot].set(req.temperature)
+            self._topps = self._topps.at[slot].set(req.top_p)
+            self._pending = None
+        else:
+            self._pending = (req, slot, off + cv)
+
     def _tick(self):
         self._admit()
-        if all(r is None for r in self._slots):
-            self._stop.wait(0.01)  # idle: nothing admitted this round
+        self._advance_chunk()
+        pending_req = self._pending[0] if self._pending else None
+        if all(r is None or r is pending_req for r in self._slots):
+            if pending_req is None:
+                self._stop.wait(0.01)  # idle: nothing admitted this round
             return
-        active = jnp.asarray([r is not None for r in self._slots])
+        active = jnp.asarray([r is not None and r is not pending_req
+                              for r in self._slots])
         self._rng, sub = jax.random.split(self._rng)
         tok, self._logits, self._cache = self._step(
             self.params, self.cfg, self._logits, self._cache,
             active, self._temps, self._topps, sub)
         toks = np.asarray(tok)
         for slot, req in enumerate(self._slots):
-            if req is None:
+            if req is None or req is pending_req:
                 continue
             t = int(toks[slot])
             done = t in req.eos_ids or req.hits_stop(t)

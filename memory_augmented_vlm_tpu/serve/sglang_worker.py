@@ -35,13 +35,16 @@ class SGLangWorker(ModelWorker):
     """ModelWorker with the generate path swapped for the batch engine."""
 
     def __init__(self, *args, num_slots: int = 4, max_len: int = 4096,
-                 kv_int8: bool = False, **kwargs):
+                 kv_int8: bool = False, chunk_prefill: int = 0, **kwargs):
         super().__init__(*args, **kwargs)
         # kv_int8 halves the slot-pool cache footprint — the lever for more
-        # concurrent long-video contexts per chip (BatchEngine docstring)
+        # concurrent long-video contexts per chip; chunk_prefill > 0 admits
+        # long prompts one chunk per tick so active slots keep decoding
+        # (BatchEngine docstrings)
         self.engine = BatchEngine(self.model.params, self.model.cfg,
                                   num_slots=num_slots, max_len=max_len,
-                                  kv_int8=kv_int8).start()
+                                  kv_int8=kv_int8,
+                                  chunk_prefill=chunk_prefill).start()
 
     def generate_stream(self, params: dict):
         self.queue_length += 1

@@ -171,3 +171,39 @@ def test_quantize_kv_rows_roundtrip():
     deq = np.asarray(q, np.float32) * np.asarray(s)[..., None]
     err = np.abs(deq - np.asarray(x))
     assert err.max() <= np.asarray(s).max() * 0.51
+
+
+@pytest.mark.parametrize("kv_int8", [False, True], ids=["bf16kv", "int8kv"])
+def test_chunked_prefill_matches_reference(tiny, kv_int8):
+    """chunk_prefill: long prompts prefill one chunk per tick (interleaved
+    with other slots' decode steps) and still reproduce the one-shot
+    engine's greedy tokens exactly."""
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=2, max_len=256,
+                         chunk_prefill=8, kv_int8=kv_int8).start()
+    try:
+        rng = np.random.default_rng(9)
+        # 20 and 25 tokens -> 3-4 chunks each; 5 tokens -> one-shot path
+        prompts = [rng.integers(0, 1000, size=(n,)) for n in (20, 25, 5)]
+        want = [_reference(params, cfg, p, 8) for p in prompts]
+        results = [None] * len(prompts)
+
+        def run(i):
+            results[i] = engine.generate(_embeds(params, prompts[i]),
+                                         max_new_tokens=8,
+                                         eos_token_ids=(49999,))
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(prompts))]
+        for i, t in enumerate(threads):
+            t.start()
+            # stagger so prompt 1's chunked admission overlaps prompt 0's
+            # decoding (the interleaving this feature exists for)
+            time.sleep(0.05)
+        for t in threads:
+            t.join(timeout=180)
+        for i, (got, exp) in enumerate(zip(results, want)):
+            assert got is not None, f"request {i} timed out"
+            np.testing.assert_array_equal(got, exp, err_msg=f"request {i}")
+    finally:
+        engine.shutdown()
