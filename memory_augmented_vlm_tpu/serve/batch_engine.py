@@ -216,12 +216,15 @@ def _decode_step(params, cfg: VLMConfig, logits, cache,
 
 @dataclass
 class _Request:
-    embeds: np.ndarray            # (S, H) spliced sequence
+    embeds: np.ndarray            # (S, H) spliced sequence (suffix only
+                                  # when use_prefix — the engine's shared
+                                  # prefix KV is installed ahead of it)
     max_new_tokens: int
     eos_ids: Tuple[int, ...]
     temperature: float
     top_p: float = 1.0
     stop_sequences: Tuple[Tuple[int, ...], ...] = ()
+    use_prefix: bool = False
     out: "queue.Queue[Optional[np.ndarray]]" = field(
         default_factory=queue.Queue)
     slot: int = -1
@@ -269,11 +272,18 @@ class BatchEngine:
         # incrementally (one chunk per tick) so admission of a long video
         # prompt never stalls active slots for a whole-prompt prefill
         self.chunk_prefill = int(chunk_prefill)
-        if self.chunk_prefill:
-            self._chunk = jax.jit(
-                functools.partial(_prefill_chunk_into_slot, max_len=max_len),
-                static_argnames=("cfg",))
-        self._pending: Optional[Tuple[_Request, int, int]] = None  # req, slot, off
+        # the chunk prefill also serves prefix-cached admissions (suffix
+        # prefill at offset P against the installed prefix rows)
+        self._chunk = jax.jit(
+            functools.partial(_prefill_chunk_into_slot, max_len=max_len),
+            static_argnames=("cfg",))
+        # req, slot, next absolute offset, prompt base offset (prefix len)
+        self._pending: Optional[Tuple[_Request, int, int, int]] = None
+        # shared prompt-prefix KV (set_prefix): rows installed into a slot
+        # before its suffix prefills — system prompts compute once, not per
+        # request
+        self._prefix: Optional[Tuple] = None
+        self._prefix_len = 0
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._slots: List[Optional[_Request]] = [None] * num_slots
         self._stop = threading.Event()
@@ -290,18 +300,46 @@ class BatchEngine:
         if self._thread:
             self._thread.join(timeout=30)
 
+    def set_prefix(self, embeds: np.ndarray):
+        """Compute and store a shared prompt-prefix KV (e.g. the system
+        prompt): one B=1 prefill at positions 0..P-1 under the engine's
+        RoPE cache bound; requests submitted with use_prefix=True install
+        these rows and prefill only their suffix (vLLM-class prefix
+        caching)."""
+        emb = jnp.asarray(np.asarray(embeds), self._dtype)[None]
+        p = emb.shape[1]
+        if not 0 < p < self.max_len:
+            raise ValueError(f"prefix length {p} out of range")
+        _, pre = qwen2.forward(
+            self.params["language_model"], self.cfg.lm, emb,
+            jnp.arange(p)[None], cache_max_len=self.max_len)
+        k, v = pre.k, pre.v                       # (L, 1, P, Hkv, Dh)
+        ks = vs = None
+        if self._cache.k.dtype == jnp.int8:
+            k, ks = qwen2.quantize_kv_rows(k)
+            v, vs = qwen2.quantize_kv_rows(v)
+        self._prefix = jax.tree.map(
+            lambda a: jax.device_put(a), (k.astype(self._cache.k.dtype),
+                                          v.astype(self._cache.v.dtype),
+                                          ks, vs))
+        self._prefix_len = p
+
     def submit(self, embeds: np.ndarray, *, max_new_tokens: int = 128,
                eos_token_ids: Tuple[int, ...] = (151645,),
                temperature: float = 0.0, top_p: float = 1.0,
                stop_sequences: Tuple[Tuple[int, ...], ...] = (),
+               use_prefix: bool = False,
                ) -> "queue.Queue[Optional[np.ndarray]]":
         """Enqueue a spliced sequence; returns a queue yielding np token
         chunks and a final None sentinel. top_p applies per row inside the
-        batched sampler; stop_sequences match host-side per token."""
+        batched sampler; stop_sequences match host-side per token.
+        use_prefix=True: `embeds` is the SUFFIX after the shared prefix
+        registered with set_prefix()."""
         req = _Request(np.asarray(embeds), max_new_tokens,
                        tuple(eos_token_ids), float(temperature),
                        float(top_p),
-                       tuple(tuple(int(t) for t in s) for s in stop_sequences))
+                       tuple(tuple(int(t) for t in s) for s in stop_sequences),
+                       use_prefix=use_prefix)
         self._queue.put(req)
         return req.out
 
@@ -329,19 +367,45 @@ class BatchEngine:
             except queue.Empty:
                 return
             try:
-                s = req.embeds.shape[0]
-                if req.embeds.ndim != 2 or s > self.max_len:
+                base = self._prefix_len if req.use_prefix else 0
+                s = base + req.embeds.shape[0]
+                if (req.embeds.ndim != 2 or s >= self.max_len
+                        or (req.use_prefix and self._prefix is None)):
                     # reject malformed/oversized prompts instead of killing
-                    # the engine thread (callers block on the sentinel)
+                    # the engine thread (callers block on the sentinel);
+                    # s == max_len leaves no cache row for the first decode
+                    # write (it would clamp onto the last prompt row)
                     req.out.put(None)
                     continue
+                if req.use_prefix:
+                    # install the shared prefix rows, then the suffix
+                    # prefills as pending chunks starting at offset P
+                    pk, pv, pks, pvs = self._prefix
+                    c = self._cache
+                    kc = jax.lax.dynamic_update_slice(
+                        c.k, pk, (0, slot, 0, 0, 0))
+                    vc = jax.lax.dynamic_update_slice(
+                        c.v, pv, (0, slot, 0, 0, 0))
+                    ksc, vsc = c.k_scale, c.v_scale
+                    if pks is not None:
+                        ksc = jax.lax.dynamic_update_slice(
+                            ksc, pks, (0, slot, 0, 0))
+                        vsc = jax.lax.dynamic_update_slice(
+                            vsc, pvs, (0, slot, 0, 0))
+                    self._cache = qwen2.KVCache(
+                        k=kc, v=vc, length=c.length.at[slot].set(base),
+                        k_scale=ksc, v_scale=vsc)
+                    req.slot = slot
+                    self._slots[slot] = req
+                    self._pending = (req, slot, base, base)
+                    return
                 if self.chunk_prefill and s > self.chunk_prefill:
                     # claim the slot; chunks advance one per tick so the
                     # decode step for active slots interleaves with this
                     # prompt's prefill
                     req.slot = slot
                     self._slots[slot] = req
-                    self._pending = (req, slot, 0)
+                    self._pending = (req, slot, 0, 0)
                     return
                 sp = min(((s + self.pad - 1) // self.pad) * self.pad,
                          self.max_len)
@@ -379,11 +443,15 @@ class BatchEngine:
         write overwrites it; the chunk call re-pins length[slot]."""
         if self._pending is None:
             return
-        req, slot, off = self._pending
+        req, slot, off, base = self._pending
         try:
-            s = req.embeds.shape[0]
-            c = self.chunk_prefill
-            chunk = req.embeds[off:off + c]
+            s = base + req.embeds.shape[0]
+            # chunk size: the configured chunk, or (prefix-cached suffix
+            # with chunking off) the whole suffix padded to the bucket
+            c = self.chunk_prefill or min(
+                ((s - base + self.pad - 1) // self.pad) * self.pad,
+                self.max_len - base)
+            chunk = req.embeds[off - base:off - base + c]
             cv = chunk.shape[0]
             emb = jnp.pad(jnp.asarray(chunk, self._dtype),
                           ((0, c - cv), (0, 0)))[None]
@@ -402,7 +470,7 @@ class BatchEngine:
             self._topps = self._topps.at[slot].set(req.top_p)
             self._pending = None
         else:
-            self._pending = (req, slot, off + cv)
+            self._pending = (req, slot, off + cv, base)
 
     def _tick(self):
         self._admit()

@@ -207,3 +207,32 @@ def test_chunked_prefill_matches_reference(tiny, kv_int8):
             np.testing.assert_array_equal(got, exp, err_msg=f"request {i}")
     finally:
         engine.shutdown()
+
+
+@pytest.mark.parametrize("chunk,kv_int8", [(0, False), (8, False), (8, True)],
+                         ids=["oneshot", "chunked", "chunked-int8"])
+def test_prefix_caching_matches_full_prompt(tiny, chunk, kv_int8):
+    """set_prefix + use_prefix: the shared prefix KV computes once; suffix
+    prefill at offset P reproduces the full-prompt greedy tokens."""
+    cfg, params = tiny
+    rng = np.random.default_rng(13)
+    prefix = rng.integers(0, 1000, size=(11,))
+    engine = BatchEngine(params, cfg, num_slots=2, max_len=256,
+                         chunk_prefill=chunk, kv_int8=kv_int8).start()
+    try:
+        engine.set_prefix(_embeds(params, prefix))
+        suffixes = [rng.integers(0, 1000, size=(n,)) for n in (7, 18)]
+        for suf in suffixes:
+            full = np.concatenate([prefix, suf])
+            want = _reference(params, cfg, full, 6)
+            got = engine.generate(_embeds(params, suf), max_new_tokens=6,
+                                  eos_token_ids=(49999,), use_prefix=True)
+            np.testing.assert_array_equal(got, want)
+        # non-prefix requests still work beside prefix ones
+        plain = rng.integers(0, 1000, size=(5,))
+        np.testing.assert_array_equal(
+            engine.generate(_embeds(params, plain), max_new_tokens=6,
+                            eos_token_ids=(49999,)),
+            _reference(params, cfg, plain, 6))
+    finally:
+        engine.shutdown()
