@@ -178,6 +178,20 @@ class MavlmForCausalLM:
                 result[b, : len(r)] = r
             return result
 
+        # HF's prompt-lookup assisted generation kwarg: greedy speculative
+        # decode drafted from the prompt's text ids (exact same output,
+        # fewer LM forwards — vlm.generate_speculative)
+        plk = int(kwargs.get("prompt_lookup_num_tokens") or 0)
+        if (plk > 1 and batch == 1 and not do_sample
+                and repetition_penalty == 1.0 and not kn["stop_sequences"]):
+            text_ids = rows[0][rows[0] >= 0]  # drop IMAGE_TOKEN_INDEX (-200)
+            out, _ = vlm.generate_speculative(
+                self.params, self.cfg, embeds_rows[0], draft_ids=text_ids,
+                max_new_tokens=max_new_tokens, eos_token_ids=eos,
+                spec_k=plk)
+            n = int(out.num_tokens)
+            return np.asarray(out.tokens)[:n][None, :]
+
         if batch == 1:
             out = vlm.generate(self.params, self.cfg, embeds_rows[0], **kn)
             n = int(out.num_tokens)

@@ -53,10 +53,15 @@ def main(argv=None):
     p.add_argument("--test_size", type=int, default=10000000)
     p.add_argument("--max_new_tokens", type=int, default=128)
     p.add_argument("--max_frames_num", type=int, default=64)
+    p.add_argument("--device_preprocess", action="store_true",
+                   help="ship raw uint8 video frames to the chip; resize+"
+                        "normalize run in the tower jit (ops/preprocess.py) "
+                        "instead of the host PIL loop")
     args = p.parse_args(argv)
 
     tokenizer, model, image_processor, _ = load_pretrained_model(
-        args.model_path, args.model_base, "llava_qwen")
+        args.model_path, args.model_base, "llava_qwen",
+        device_preprocess=args.device_preprocess)
     questions = get_chunk(load_questions(args.question_file)[: args.test_size],
                           args.num_chunks, args.chunk_idx)
     os.makedirs(os.path.dirname(os.path.abspath(args.answers_file)), exist_ok=True)
@@ -74,7 +79,10 @@ def main(argv=None):
                 idx = np.linspace(0, frames.shape[0] - 1,
                                   args.max_frames_num).astype(int)
                 frames = frames[idx]
-            pixels = image_processor.preprocess(frames)
+            if args.device_preprocess and frames.dtype == np.uint8:
+                pixels = frames  # raw bytes; in-jit resize+normalize
+            else:
+                pixels = image_processor.preprocess(frames)
             modality = "video"
         elif q.get("image"):
             from PIL import Image

@@ -526,6 +526,104 @@ def forward(
     return hidden, cache
 
 
+def forward_chunk(
+    params,
+    cfg: LMConfig,
+    token_embeds: jax.Array,
+    cache: KVCache,
+    start: jax.Array,
+) -> Tuple[jax.Array, KVCache]:
+    """C-token step against a cache prefix: rows [0, start) of the cache
+    are the valid context; the chunk attends to that prefix plus its own
+    causal triangle, and its K/V are written at rows [start, start+C).
+
+    The verification step of speculative decoding (vlm.generate_speculative)
+    and a building block for chunked prefill. B must share one `start`
+    (scalar int32). Returns (hidden (B, C, H) after final norm, cache with
+    length = start + C — callers roll `length` back on partial acceptance;
+    rows beyond the accepted point are garbage that the next chunk/decode
+    write overwrites).
+
+    RoPE frequencies derive from the cache bound (dynamic-NTK invariant
+    with prefill/decode). int8 caches quantize on write and fuse dequant
+    into the attention einsums, as in decode_step."""
+    if cfg.position_embedding == "alibi":
+        raise NotImplementedError("forward_chunk requires RoPE positions")
+    b, c, _ = token_embeds.shape
+    smax = cache.k.shape[2]
+    inv_freq = compute_rope_freqs(
+        cfg.head_dim, cfg.rope_theta,
+        scaling_type=cfg.rope_scaling_type,
+        scaling_factor=cfg.rope_scaling_factor,
+        max_position_embeddings=cfg.max_position_embeddings,
+        seq_len=smax,
+    )
+    qpos = start + jnp.arange(c)
+    cos, sin = rope_cos_sin(jnp.broadcast_to(qpos[None], (b, c)), inv_freq)
+    mask = (jnp.arange(smax)[None, :] <= qpos[:, None])[None, None]
+    quant = cache.k.dtype == jnp.int8
+    act_dtype = token_embeds.dtype
+    lp_all = params["layers"]
+
+    def layer_body(l, carry):
+        if quant:
+            hidden, kc, vc, ksc, vsc = carry
+        else:
+            hidden, kc, vc = carry
+        lp = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+            lp_all)
+        residual = hidden
+        x = _norm(hidden, lp["input_layernorm"], cfg)
+        q, k, v = _qkv(lp, cfg, x)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if quant:
+            k_w, k_s = quantize_kv_rows(k)
+            v_w, v_s = quantize_kv_rows(v)
+            ksc = jax.lax.dynamic_update_slice(ksc, k_s[None],
+                                               (l, 0, start, 0))
+            vsc = jax.lax.dynamic_update_slice(vsc, v_s[None],
+                                               (l, 0, start, 0))
+        else:
+            k_w, v_w = k.astype(kc.dtype), v.astype(vc.dtype)
+        kc = jax.lax.dynamic_update_slice(kc, k_w[None], (l, 0, start, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v_w[None], (l, 0, start, 0, 0))
+        layer_k = jax.lax.dynamic_index_in_dim(kc, l, 0, keepdims=False)
+        layer_v = jax.lax.dynamic_index_in_dim(vc, l, 0, keepdims=False)
+        if quant:
+            k_sl = jax.lax.dynamic_index_in_dim(ksc, l, 0, keepdims=False)
+            v_sl = jax.lax.dynamic_index_in_dim(vsc, l, 0, keepdims=False)
+            layer_k = (layer_k.astype(jnp.float32)
+                       * k_sl[..., None]).astype(act_dtype)
+            layer_v = (layer_v.astype(jnp.float32)
+                       * v_sl[..., None]).astype(act_dtype)
+        kq = repeat_kv(layer_k, cfg.kv_groups)
+        vq = repeat_kv(layer_v, cfg.kv_groups)
+        attn = mha_attention(q, kq, vq, mask=mask)
+        hidden = residual + _proj(lp["o_proj"], attn.reshape(b, c, -1))
+        residual = hidden
+        x = _norm(hidden, lp["post_attention_layernorm"], cfg)
+        hidden = residual + _layer_mlp(lp, x, cfg.mlp_act, cfg)
+        if quant:
+            return hidden, kc, vc, ksc, vsc
+        return hidden, kc, vc
+
+    if quant:
+        hidden, kc, vc, ksc, vsc = jax.lax.fori_loop(
+            0, cfg.num_hidden_layers, layer_body,
+            (token_embeds, cache.k, cache.v, cache.k_scale, cache.v_scale))
+    else:
+        hidden, kc, vc = jax.lax.fori_loop(
+            0, cfg.num_hidden_layers, layer_body,
+            (token_embeds, cache.k, cache.v))
+        ksc, vsc = cache.k_scale, cache.v_scale
+    hidden = _norm(hidden, params["norm"], cfg)
+    length = jnp.broadcast_to(start + c, cache.length.shape).astype(jnp.int32)
+    return hidden, KVCache(k=kc, v=vc, length=length,
+                           k_scale=ksc, v_scale=vsc)
+
+
 def decode_step(
     params,
     cfg: LMConfig,

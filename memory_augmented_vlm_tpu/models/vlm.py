@@ -424,6 +424,143 @@ def generate(
 
 
 # ---------------------------------------------------------------------------
+# Prompt-lookup speculative decoding (greedy; decode is HBM-bound, so
+# verifying K tokens per forward amortizes the per-step weight read)
+# ---------------------------------------------------------------------------
+
+def _spec_decode(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
+                 hist, hist_n, *, max_new_tokens: int, spec_k: int):
+    """jit core of generate_speculative. `hist` is the lookup corpus
+    (prompt text ids, then emitted tokens, 0-padded to a static cap).
+
+    Per iteration: the next greedy token g0 is certain (argmax of carried
+    logits); a bigram prompt-lookup proposes spec_k-1 continuation tokens
+    after it; one qwen2.forward_chunk verifies all spec_k positions, and
+    the longest prefix whose greedy predictions match the proposal is
+    emitted. Draft quality affects ONLY speed — output equals plain greedy
+    by construction. Rejected rows' cache entries are garbage that the
+    next chunk (written at the rolled-back offset) overwrites."""
+    lm = params["language_model"]
+    b, smax = embeds.shape[0], embeds.shape[1]
+    hidden, cache = qwen2.forward(
+        lm, cfg.lm, embeds, jnp.arange(smax)[None], valid_len=valid_len,
+        cache_max_len=smax + max_new_tokens + spec_k,
+    )
+    last = jnp.take_along_axis(hidden, (valid_len - 1)[:, None, None], axis=1)
+    logits = qwen2.unembed(lm, cfg.lm, last)[0, 0]   # (V,)
+    hist_cap = hist.shape[0]
+    width = max_new_tokens + spec_k
+
+    def lookup(t_prev, g0, hist, hist_n):
+        # last occurrence of the (t_prev, g0) bigram inside the corpus; the
+        # tokens after it are the proposal. No match -> repeat g0 (any
+        # draft is correctness-neutral).
+        idx = jnp.arange(hist_cap - 1)
+        m = ((hist[:-1] == t_prev) & (hist[1:] == g0)
+             & (idx + 1 < hist_n) & (t_prev >= 0))
+        j = jnp.max(jnp.where(m, idx, -1))
+        start = jnp.clip(j + 2, 0, hist_cap - (spec_k - 1))
+        cont = jax.lax.dynamic_slice(hist, (start,), (spec_k - 1,))
+        # the continuation may run past the corpus end (hist_n) into
+        # padding — patch those entries with the fallback token
+        in_corpus = (start + jnp.arange(spec_k - 1)) < hist_n
+        cont = jnp.where(in_corpus, cont, g0)
+        return jnp.where(j >= 0, cont, jnp.full((spec_k - 1,), g0))
+
+    def body(state):
+        num, cur_len = state["num"], state["cur_len"]
+        g0 = jnp.argmax(state["logits"]).astype(jnp.int32)
+        t_prev = jnp.where(state["hist_n"] > 0,
+                           state["hist"][jnp.clip(state["hist_n"] - 1, 0)],
+                           -1)
+        draft = lookup(t_prev, g0, state["hist"], state["hist_n"])
+        chunk = jnp.concatenate([g0[None], draft])            # (K,)
+        emb = qwen2.embed_tokens(lm, chunk[None], cfg.lm).astype(embeds.dtype)
+        hidden, cache = qwen2.forward_chunk(lm, cfg.lm, emb, state["cache"],
+                                            cur_len)
+        logits_all = qwen2.unembed(lm, cfg.lm, hidden)[0]     # (K, V)
+        preds = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)
+        acc = jnp.cumprod((preds[:-1] == chunk[1:]).astype(jnp.int32))
+        n_acc = jnp.sum(acc)
+        emitted = 1 + n_acc
+        next_logits = logits_all[n_acc]
+        # cap to the token budget, then to the first eos inside the window
+        emitted = jnp.minimum(emitted, max_new_tokens - num)
+        is_eos = jnp.any(chunk[:, None] == eos_ids[None, :], axis=-1)
+        in_window = jnp.arange(spec_k) < emitted
+        hit = is_eos & in_window
+        any_hit = jnp.any(hit)
+        emitted = jnp.where(any_hit, jnp.argmax(hit) + 1, emitted)
+        tokens = jax.lax.dynamic_update_slice(state["tokens"], chunk, (num,))
+        hist = jax.lax.dynamic_update_slice(state["hist"], chunk,
+                                            (state["hist_n"],))
+        return dict(
+            num=num + emitted, cur_len=cur_len + emitted,
+            done=state["done"] | any_hit, logits=next_logits, cache=cache,
+            tokens=tokens, hist=hist, hist_n=state["hist_n"] + emitted,
+            iters=state["iters"] + 1,
+        )
+
+    def cond(state):
+        return jnp.logical_and(state["num"] < max_new_tokens,
+                               jnp.logical_not(state["done"]))
+
+    state = dict(
+        num=jnp.asarray(0, jnp.int32), cur_len=valid_len[0],
+        done=jnp.asarray(False), logits=logits, cache=cache,
+        tokens=jnp.zeros((width,), jnp.int32), hist=hist, hist_n=hist_n,
+        iters=jnp.asarray(0, jnp.int32),
+    )
+    final = jax.lax.while_loop(cond, body, state)
+    tokens = jnp.where(jnp.arange(width) < final["num"], final["tokens"], 0)
+    return tokens[:max_new_tokens], final["num"], final["iters"]
+
+
+@functools.lru_cache(maxsize=16)
+def _jit_spec(cfg: VLMConfig, max_new_tokens: int, spec_k: int):
+    return jax.jit(
+        functools.partial(_spec_decode, max_new_tokens=max_new_tokens,
+                          spec_k=spec_k),
+        static_argnames=("cfg",))
+
+
+def generate_speculative(
+    params,
+    cfg: VLMConfig,
+    inputs_embeds: jax.Array,      # (S, H) spliced sequence (single sample)
+    *,
+    draft_ids=None,                # prompt TEXT ids for the lookup corpus
+    max_new_tokens: int = 128,
+    eos_token_ids: Tuple[int, ...] = (151645,),
+    spec_k: int = 4,
+    pad_to_multiple: int = 128,
+) -> Tuple[GenerateResult, dict]:
+    """Greedy decode with prompt-lookup speculation: emits the exact plain-
+    greedy tokens while running ~(accepted+1) tokens per LM forward.
+    `draft_ids` (the prompt's text token ids) seed the lookup corpus;
+    generated tokens join it as they are emitted. Returns the
+    GenerateResult plus {"iterations": n} (tokens/iterations = mean
+    accepted run length; equal to num_tokens when nothing accepts)."""
+    if spec_k < 2:
+        raise ValueError("spec_k must be >= 2 (1 certain + >=1 proposed)")
+    s = inputs_embeds.shape[0]
+    smax = ((s + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple
+    embeds = jnp.pad(inputs_embeds, ((0, smax - s), (0, 0)))[None]
+    n_draft = 0 if draft_ids is None else len(draft_ids)
+    hist_cap = -(-(n_draft + max_new_tokens + spec_k) // 128) * 128
+    hist = np.zeros((hist_cap,), np.int32)
+    if n_draft:
+        hist[:n_draft] = np.asarray(draft_ids, np.int32)
+    fn = _jit_spec(cfg, max_new_tokens, spec_k)
+    tokens, num, iters = fn(
+        params, cfg, embeds, jnp.asarray([s], jnp.int32),
+        jnp.asarray(eos_token_ids, jnp.int32), jnp.asarray(hist),
+        jnp.asarray(n_draft, jnp.int32))
+    return (GenerateResult(tokens=tokens, num_tokens=num),
+            {"iterations": int(iters)})
+
+
+# ---------------------------------------------------------------------------
 # Incremental streaming decode (the worker's TextIteratorStreamer equivalent)
 # ---------------------------------------------------------------------------
 
