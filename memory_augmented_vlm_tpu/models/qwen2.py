@@ -532,20 +532,26 @@ def forward_chunk(
     token_embeds: jax.Array,
     cache: KVCache,
     start: jax.Array,
+    *,
+    row=0,
+    rope_seq_len: Optional[int] = None,
 ) -> Tuple[jax.Array, KVCache]:
-    """C-token step against a cache prefix: rows [0, start) of the cache
-    are the valid context; the chunk attends to that prefix plus its own
-    causal triangle, and its K/V are written at rows [start, start+C).
+    """C-token step against a cache prefix: rows [0, start) of cache row
+    `row` are the valid context; the chunk attends to that prefix plus its
+    own causal triangle, and its K/V are written at rows [start, start+C)
+    of that cache row.
 
     The verification step of speculative decoding (vlm.generate_speculative)
-    and a building block for chunked prefill. B must share one `start`
-    (scalar int32). Returns (hidden (B, C, H) after final norm, cache with
-    length = start + C — callers roll `length` back on partial acceptance;
-    rows beyond the accepted point are garbage that the next chunk/decode
-    write overwrites).
+    and the chunk step of the batch engine's chunked prefill / prefix
+    caching (`row` = slot of the pooled (L, B, Smax, ...) cache; the input
+    chunk is (1, C, H) when targeting one slot). Returns (hidden (1, C, H)
+    after final norm, cache with length[row] = start + C — callers roll
+    `length` back on partial acceptance; rows beyond the accepted point
+    are garbage that the next chunk/decode write overwrites).
 
-    RoPE frequencies derive from the cache bound (dynamic-NTK invariant
-    with prefill/decode). int8 caches quantize on write and fuse dequant
+    `rope_seq_len` pins the dynamic-NTK frequency basis; it must match
+    whatever bound the surrounding prefill/decode used (defaults to the
+    cache buffer length). int8 caches quantize on write and fuse dequant
     into the attention einsums, as in decode_step."""
     if cfg.position_embedding == "alibi":
         raise NotImplementedError("forward_chunk requires RoPE positions")
@@ -556,7 +562,7 @@ def forward_chunk(
         scaling_type=cfg.rope_scaling_type,
         scaling_factor=cfg.rope_scaling_factor,
         max_position_embeddings=cfg.max_position_embeddings,
-        seq_len=smax,
+        seq_len=rope_seq_len or smax,
     )
     qpos = start + jnp.arange(c)
     cos, sin = rope_cos_sin(jnp.broadcast_to(qpos[None], (b, c)), inv_freq)
@@ -582,18 +588,22 @@ def forward_chunk(
             k_w, k_s = quantize_kv_rows(k)
             v_w, v_s = quantize_kv_rows(v)
             ksc = jax.lax.dynamic_update_slice(ksc, k_s[None],
-                                               (l, 0, start, 0))
+                                               (l, row, start, 0))
             vsc = jax.lax.dynamic_update_slice(vsc, v_s[None],
-                                               (l, 0, start, 0))
+                                               (l, row, start, 0))
         else:
             k_w, v_w = k.astype(kc.dtype), v.astype(vc.dtype)
-        kc = jax.lax.dynamic_update_slice(kc, k_w[None], (l, 0, start, 0, 0))
-        vc = jax.lax.dynamic_update_slice(vc, v_w[None], (l, 0, start, 0, 0))
-        layer_k = jax.lax.dynamic_index_in_dim(kc, l, 0, keepdims=False)
-        layer_v = jax.lax.dynamic_index_in_dim(vc, l, 0, keepdims=False)
+        kc = jax.lax.dynamic_update_slice(kc, k_w[None], (l, row, start, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v_w[None], (l, row, start, 0, 0))
+
+        def row_of(a):
+            return jax.lax.dynamic_index_in_dim(
+                jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+                row, 0, keepdims=True)            # (1, Smax, Hkv, ...)
+
+        layer_k, layer_v = row_of(kc), row_of(vc)
         if quant:
-            k_sl = jax.lax.dynamic_index_in_dim(ksc, l, 0, keepdims=False)
-            v_sl = jax.lax.dynamic_index_in_dim(vsc, l, 0, keepdims=False)
+            k_sl, v_sl = row_of(ksc), row_of(vsc)
             layer_k = (layer_k.astype(jnp.float32)
                        * k_sl[..., None]).astype(act_dtype)
             layer_v = (layer_v.astype(jnp.float32)
@@ -619,7 +629,8 @@ def forward_chunk(
             (token_embeds, cache.k, cache.v))
         ksc, vsc = cache.k_scale, cache.v_scale
     hidden = _norm(hidden, params["norm"], cfg)
-    length = jnp.broadcast_to(start + c, cache.length.shape).astype(jnp.int32)
+    length = cache.length.at[row].set(
+        jnp.asarray(start + c, jnp.int32))
     return hidden, KVCache(k=kc, v=vc, length=length,
                            k_scale=ksc, v_scale=vsc)
 

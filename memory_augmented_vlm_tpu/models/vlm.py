@@ -442,9 +442,23 @@ def _spec_decode(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
     next chunk (written at the rolled-back offset) overwrites."""
     lm = params["language_model"]
     b, smax = embeds.shape[0], embeds.shape[1]
+    # prefill with PLAIN generate's cache bound so the dynamic-NTK RoPE
+    # basis matches exactly (the exactness contract), then widen the cache
+    # buffers by spec_k rows for the speculation window's garbage writes —
+    # forward_chunk gets the same basis via rope_seq_len
+    rope_bound = smax + max_new_tokens
     hidden, cache = qwen2.forward(
         lm, cfg.lm, embeds, jnp.arange(smax)[None], valid_len=valid_len,
-        cache_max_len=smax + max_new_tokens + spec_k,
+        cache_max_len=rope_bound,
+    )
+    pad_rows = [(0, 0), (0, 0), (0, spec_k), (0, 0)]
+    cache = cache._replace(
+        k=jnp.pad(cache.k, pad_rows + [(0, 0)]),
+        v=jnp.pad(cache.v, pad_rows + [(0, 0)]),
+        k_scale=None if cache.k_scale is None else jnp.pad(cache.k_scale,
+                                                           pad_rows),
+        v_scale=None if cache.v_scale is None else jnp.pad(cache.v_scale,
+                                                           pad_rows),
     )
     last = jnp.take_along_axis(hidden, (valid_len - 1)[:, None, None], axis=1)
     logits = qwen2.unembed(lm, cfg.lm, last)[0, 0]   # (V,)
@@ -477,7 +491,7 @@ def _spec_decode(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
         chunk = jnp.concatenate([g0[None], draft])            # (K,)
         emb = qwen2.embed_tokens(lm, chunk[None], cfg.lm).astype(embeds.dtype)
         hidden, cache = qwen2.forward_chunk(lm, cfg.lm, emb, state["cache"],
-                                            cur_len)
+                                            cur_len, rope_seq_len=rope_bound)
         logits_all = qwen2.unembed(lm, cfg.lm, hidden)[0]     # (K, V)
         preds = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)
         acc = jnp.cumprod((preds[:-1] == chunk[1:]).astype(jnp.int32))

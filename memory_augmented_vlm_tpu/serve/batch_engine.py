@@ -74,10 +74,11 @@ def _prefill_chunk_into_slot(params, cfg: VLMConfig, emb_chunk, off,
                              chunk_valid, slot, cache, *, max_len: int):
     """One chunk of a CHUNKED prefill: C tokens at global offset `off` for
     `slot`, attending to the slot's already-written cache prefix [0, off)
-    plus causally within the chunk. Keeps admission of long (video) prompts
-    from stalling other slots' decoding for a whole-prompt prefill — the
-    engine interleaves one decode step per chunk (vLLM-class chunked
-    prefill; the reference's sglang runtime has no equivalent).
+    plus causally within the chunk (qwen2.forward_chunk with row=slot).
+    Keeps admission of long (video) prompts from stalling other slots'
+    decoding for a whole-prompt prefill — the engine interleaves one decode
+    step per chunk (vLLM-class chunked prefill; the reference's sglang
+    runtime has no equivalent).
 
     emb_chunk: (1, C, H) right-padded; chunk_valid: scalar int32 valid rows
     (C for every chunk but the last). Only the LAST chunk may be partial —
@@ -88,97 +89,13 @@ def _prefill_chunk_into_slot(params, cfg: VLMConfig, emb_chunk, off,
     RoPE frequencies derive from the same `max_len` cache bound as the
     one-shot prefill and decode steps (dynamic-NTK invariant)."""
     lm = params["language_model"]
-    lmc = cfg.lm
-    if lmc.position_embedding == "alibi":
-        raise NotImplementedError("chunked prefill requires RoPE positions")
-    b, c, _ = emb_chunk.shape
-    smax = cache.k.shape[2]
-    inv_freq = qwen2.compute_rope_freqs(
-        lmc.head_dim, lmc.rope_theta,
-        scaling_type=lmc.rope_scaling_type,
-        scaling_factor=lmc.rope_scaling_factor,
-        max_position_embeddings=lmc.max_position_embeddings,
-        seq_len=max_len,
-    )
-    qpos = off + jnp.arange(c)
-    cos, sin = qwen2.rope_cos_sin(qpos[None], inv_freq)
-    # keys visible to query row i: every cache position <= off + i (the
-    # valid prefix plus the chunk's own causal triangle); pad query rows
-    # (i >= chunk_valid) produce garbage that is never read
-    mask = (jnp.arange(smax)[None, :] <= qpos[:, None])[None, None]
-    quant = cache.k.dtype == jnp.int8
-    act_dtype = emb_chunk.dtype
-    lp_all = lm["layers"]
-
-    def layer_body(l, carry):
-        if quant:
-            hidden, kc, vc, ksc, vsc = carry
-        else:
-            hidden, kc, vc = carry
-        lp = jax.tree.map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
-            lp_all)
-        residual = hidden
-        x = qwen2._norm(hidden, lp["input_layernorm"], lmc)
-        q, k, v = qwen2._qkv(lp, lmc, x)
-        q = qwen2.apply_rope(q, cos, sin)
-        k = qwen2.apply_rope(k, cos, sin)
-        if quant:
-            k_w, k_s = qwen2.quantize_kv_rows(k)
-            v_w, v_s = qwen2.quantize_kv_rows(v)
-            ksc = jax.lax.dynamic_update_slice(ksc, k_s[None],
-                                               (l, slot, off, 0))
-            vsc = jax.lax.dynamic_update_slice(vsc, v_s[None],
-                                               (l, slot, off, 0))
-        else:
-            k_w, v_w = k.astype(kc.dtype), v.astype(vc.dtype)
-        kc = jax.lax.dynamic_update_slice(kc, k_w[None], (l, slot, off, 0, 0))
-        vc = jax.lax.dynamic_update_slice(vc, v_w[None], (l, slot, off, 0, 0))
-        layer_k = jax.lax.dynamic_index_in_dim(
-            jax.lax.dynamic_index_in_dim(kc, l, 0, keepdims=False),
-            slot, 0, keepdims=True)                     # (1, Smax, Hkv, D)
-        layer_v = jax.lax.dynamic_index_in_dim(
-            jax.lax.dynamic_index_in_dim(vc, l, 0, keepdims=False),
-            slot, 0, keepdims=True)
-        if quant:
-            k_sl = jax.lax.dynamic_index_in_dim(
-                jax.lax.dynamic_index_in_dim(ksc, l, 0, keepdims=False),
-                slot, 0, keepdims=True)
-            v_sl = jax.lax.dynamic_index_in_dim(
-                jax.lax.dynamic_index_in_dim(vsc, l, 0, keepdims=False),
-                slot, 0, keepdims=True)
-            layer_k = (layer_k.astype(jnp.float32)
-                       * k_sl[..., None]).astype(act_dtype)
-            layer_v = (layer_v.astype(jnp.float32)
-                       * v_sl[..., None]).astype(act_dtype)
-        kq = qwen2.repeat_kv(layer_k, lmc.kv_groups)
-        vq = qwen2.repeat_kv(layer_v, lmc.kv_groups)
-        attn = qwen2.mha_attention(q, kq, vq, mask=mask)
-        hidden = residual + qwen2._proj(lp["o_proj"],
-                                        attn.reshape(b, c, -1))
-        residual = hidden
-        x = qwen2._norm(hidden, lp["post_attention_layernorm"], lmc)
-        hidden = residual + qwen2._layer_mlp(lp, x, lmc.mlp_act, lmc)
-        if quant:
-            return hidden, kc, vc, ksc, vsc
-        return hidden, kc, vc
-
-    if quant:
-        carry = (emb_chunk, cache.k, cache.v, cache.k_scale, cache.v_scale)
-        hidden, kc, vc, ksc, vsc = jax.lax.fori_loop(
-            0, lmc.num_hidden_layers, layer_body, carry)
-    else:
-        hidden, kc, vc = jax.lax.fori_loop(
-            0, lmc.num_hidden_layers, layer_body,
-            (emb_chunk, cache.k, cache.v))
-        ksc, vsc = cache.k_scale, cache.v_scale
-    hidden = qwen2._norm(hidden, lm["norm"], lmc)
+    hidden, cache = qwen2.forward_chunk(
+        lm, cfg.lm, emb_chunk, cache, off, row=slot, rope_seq_len=max_len)
     last = jax.lax.dynamic_index_in_dim(
         hidden[0], chunk_valid - 1, 0, keepdims=True)
-    logits = qwen2.unembed(lm, lmc, last[None])[0, 0]
+    logits = qwen2.unembed(lm, cfg.lm, last[None])[0, 0]
     length = cache.length.at[slot].set(off + chunk_valid)
-    return logits, qwen2.KVCache(k=kc, v=vc, length=length,
-                                 k_scale=ksc, v_scale=vsc)
+    return logits, cache._replace(length=length)
 
 
 def _decode_step(params, cfg: VLMConfig, logits, cache,
@@ -283,7 +200,6 @@ class BatchEngine:
         # before its suffix prefills — system prompts compute once, not per
         # request
         self._prefix: Optional[Tuple] = None
-        self._prefix_len = 0
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._slots: List[Optional[_Request]] = [None] * num_slots
         self._stop = threading.Event()
@@ -313,16 +229,20 @@ class BatchEngine:
         _, pre = qwen2.forward(
             self.params["language_model"], self.cfg.lm, emb,
             jnp.arange(p)[None], cache_max_len=self.max_len)
-        k, v = pre.k, pre.v                       # (L, 1, P, Hkv, Dh)
+        # slice to the P prefix rows — forward pads its cache buffer to
+        # max_len, and storing that would pin a full slot's worth of HBM
+        k, v = pre.k[:, :, :p], pre.v[:, :, :p]   # (L, 1, P, Hkv, Dh)
         ks = vs = None
         if self._cache.k.dtype == jnp.int8:
             k, ks = qwen2.quantize_kv_rows(k)
             v, vs = qwen2.quantize_kv_rows(v)
-        self._prefix = jax.tree.map(
-            lambda a: jax.device_put(a), (k.astype(self._cache.k.dtype),
-                                          v.astype(self._cache.v.dtype),
-                                          ks, vs))
-        self._prefix_len = p
+        # one atomic (len, rows...) tuple: _admit snapshots it in a single
+        # read, so a concurrent re-registration can't pair a new length
+        # with old rows
+        self._prefix = (p, jax.device_put(k.astype(self._cache.k.dtype)),
+                        jax.device_put(v.astype(self._cache.v.dtype)),
+                        None if ks is None else jax.device_put(ks),
+                        None if vs is None else jax.device_put(vs))
 
     def submit(self, embeds: np.ndarray, *, max_new_tokens: int = 128,
                eos_token_ids: Tuple[int, ...] = (151645,),
@@ -367,20 +287,26 @@ class BatchEngine:
             except queue.Empty:
                 return
             try:
-                base = self._prefix_len if req.use_prefix else 0
+                # snapshot the (len, rows) pair once — set_prefix may swap
+                # it from the caller thread concurrently
+                prefix = self._prefix if req.use_prefix else None
+                base = prefix[0] if req.use_prefix and prefix else 0
                 s = base + req.embeds.shape[0]
-                if (req.embeds.ndim != 2 or s >= self.max_len
-                        or (req.use_prefix and self._prefix is None)):
-                    # reject malformed/oversized prompts instead of killing
-                    # the engine thread (callers block on the sentinel);
-                    # s == max_len leaves no cache row for the first decode
-                    # write (it would clamp onto the last prompt row)
+                if (req.embeds.ndim != 2 or req.embeds.shape[0] == 0
+                        or s >= self.max_len
+                        or (req.use_prefix and prefix is None)):
+                    # reject malformed/empty/oversized prompts instead of
+                    # killing the engine thread (callers block on the
+                    # sentinel); s == max_len leaves no cache row for the
+                    # first decode write (it would clamp onto the last
+                    # prompt row), and an empty suffix has no row to take
+                    # first-token logits from
                     req.out.put(None)
                     continue
                 if req.use_prefix:
                     # install the shared prefix rows, then the suffix
                     # prefills as pending chunks starting at offset P
-                    pk, pv, pks, pvs = self._prefix
+                    _, pk, pv, pks, pvs = prefix
                     c = self._cache
                     kc = jax.lax.dynamic_update_slice(
                         c.k, pk, (0, slot, 0, 0, 0))
@@ -447,10 +373,13 @@ class BatchEngine:
         try:
             s = base + req.embeds.shape[0]
             # chunk size: the configured chunk, or (prefix-cached suffix
-            # with chunking off) the whole suffix padded to the bucket
-            c = self.chunk_prefill or min(
-                ((s - base + self.pad - 1) // self.pad) * self.pad,
-                self.max_len - base)
+            # with chunking off) the whole suffix padded to the bucket —
+            # always capped at max_len - off, or the final padded chunk's
+            # dynamic_update_slice would CLAMP its start index and silently
+            # shift the K/V write backwards over valid rows
+            c = self.chunk_prefill or ((s - base + self.pad - 1)
+                                       // self.pad) * self.pad
+            c = min(c, self.max_len - off)
             chunk = req.embeds[off - base:off - base + c]
             cv = chunk.shape[0]
             emb = jnp.pad(jnp.asarray(chunk, self._dtype),

@@ -236,3 +236,61 @@ def test_prefix_caching_matches_full_prompt(tiny, chunk, kv_int8):
             _reference(params, cfg, plain, 6))
     finally:
         engine.shutdown()
+
+
+def test_chunked_prefill_near_max_len(tiny):
+    """The final chunk of a prompt near max_len must not let its padded
+    width overrun the cache (dynamic_update_slice would CLAMP the start
+    and silently shift the write over valid rows)."""
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=1, max_len=40,
+                         chunk_prefill=16).start()
+    try:
+        rng = np.random.default_rng(33)
+        ids = rng.integers(0, 1000, size=(39,))  # chunks at 0,16,32 (w=8)
+        want = _reference(params, cfg, ids, 1)
+        got = engine.generate(_embeds(params, ids), max_new_tokens=1,
+                              eos_token_ids=(49999,))
+        np.testing.assert_array_equal(got, want)
+
+        # prefix-offset de-alignment: chunks at 5,13,21,29 — the last one
+        # must cap at 32-29=3 rows
+        engine2 = BatchEngine(params, cfg, num_slots=1, max_len=32,
+                              chunk_prefill=8).start()
+        try:
+            prefix = rng.integers(0, 1000, size=(5,))
+            suffix = rng.integers(0, 1000, size=(26,))
+            engine2.set_prefix(_embeds(params, prefix))
+            want2 = _reference(params, cfg, np.concatenate([prefix, suffix]),
+                               1)
+            got2 = engine2.generate(_embeds(params, suffix),
+                                    max_new_tokens=1,
+                                    eos_token_ids=(49999,), use_prefix=True)
+            np.testing.assert_array_equal(got2, want2)
+        finally:
+            engine2.shutdown()
+    finally:
+        engine.shutdown()
+
+
+def test_empty_suffix_rejected(tiny):
+    """A use_prefix request with an empty suffix (and any empty prompt) is
+    rejected cleanly instead of seeding generation from a pad row."""
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=1, max_len=64,
+                         chunk_prefill=8).start()
+    try:
+        engine.set_prefix(_embeds(params, np.array([3, 5, 7])))
+        empty = np.zeros((0, cfg.lm.hidden_size), np.float32)
+        assert engine.generate(empty, max_new_tokens=3, use_prefix=True,
+                               eos_token_ids=(49999,)).shape == (0,)
+        assert engine.generate(empty, max_new_tokens=3,
+                               eos_token_ids=(49999,)).shape == (0,)
+        # engine still serves
+        ids = np.array([4, 9, 2])
+        np.testing.assert_array_equal(
+            engine.generate(_embeds(params, ids), max_new_tokens=3,
+                            eos_token_ids=(49999,)),
+            _reference(params, cfg, ids, 3))
+    finally:
+        engine.shutdown()
