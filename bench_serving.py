@@ -35,6 +35,7 @@ def main():
                     help="tokens per request in the timed phase")
     ap.add_argument("--kv_int8", action="store_true")
     ap.add_argument("--chunk_prefill", type=int, default=0)
+    ap.add_argument("--speculative", type=int, default=0)
     args = ap.parse_args()
 
     cfg = VLMConfig.onevision_0_5b()
@@ -44,7 +45,8 @@ def main():
 
     engine = BatchEngine(params, cfg, num_slots=args.num_slots,
                          max_len=args.max_len, kv_int8=args.kv_int8,
-                         chunk_prefill=args.chunk_prefill).start()
+                         chunk_prefill=args.chunk_prefill,
+                         speculative=args.speculative).start()
     try:
         def submit():
             ids = rng.integers(0, 1000, size=(args.prompt_len,))
@@ -52,7 +54,8 @@ def main():
                 params["language_model"], jnp.asarray(ids, jnp.int32),
                 cfg.lm), np.float32)
             return engine.submit(emb, max_new_tokens=args.decode_tokens,
-                                 eos_token_ids=(151645,))
+                                 eos_token_ids=(151645,),
+                                 draft_ids=tuple(int(t) for t in ids))
 
         # warmup: compile prefill + decode graphs, fill every slot
         outs = [submit() for _ in range(args.num_slots)]
@@ -80,6 +83,8 @@ def main():
                 "max_len": args.max_len,
                 "kv_int8": args.kv_int8,
                 "chunk_prefill": args.chunk_prefill,
+                "speculative": args.speculative,
+                "engine_stats": dict(engine.stats),
                 "decode_tokens_timed": total,
                 "steady_s": round(dt, 3),
                 "time_to_first_tokens_s": round(t_first, 3),

@@ -635,6 +635,99 @@ def forward_chunk(
                            k_scale=ksc, v_scale=vsc)
 
 
+def decode_chunk_batched(
+    params,
+    cfg: LMConfig,
+    token_embeds: jax.Array,
+    cache: KVCache,
+    starts: jax.Array,
+    *,
+    rope_seq_len: Optional[int] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Batched K-token step with PER-ROW start offsets — the verification
+    step of batched speculative decoding (serve/batch_engine.py).
+
+    token_embeds: (B, K, H); starts: (B,) int32 — row b's chunk occupies
+    cache positions [starts[b], starts[b]+K) and attends to that row's
+    prefix plus its own causal triangle. Rows whose start is >= the cache
+    bound write nothing (scatter drops out-of-bounds updates) — the
+    engine parks inactive slots there. Returns (hidden (B, K, H), cache);
+    `length` is NOT updated (callers own per-row acceptance/rollback)."""
+    if cfg.position_embedding == "alibi":
+        raise NotImplementedError("decode_chunk_batched requires RoPE")
+    b, kk, _ = token_embeds.shape
+    smax = cache.k.shape[2]
+    inv_freq = compute_rope_freqs(
+        cfg.head_dim, cfg.rope_theta,
+        scaling_type=cfg.rope_scaling_type,
+        scaling_factor=cfg.rope_scaling_factor,
+        max_position_embeddings=cfg.max_position_embeddings,
+        seq_len=rope_seq_len or smax,
+    )
+    qpos = starts[:, None] + jnp.arange(kk)[None, :]          # (B, K)
+    cos, sin = rope_cos_sin(qpos, inv_freq)
+    mask = (jnp.arange(smax)[None, None, None, :]
+            <= qpos[:, None, :, None])                        # (B,1,K,Smax)
+    quant = cache.k.dtype == jnp.int8
+    act_dtype = token_embeds.dtype
+    lp_all = params["layers"]
+    bidx = jnp.arange(b)[:, None]
+
+    def layer_body(l, carry):
+        if quant:
+            hidden, kc, vc, ksc, vsc = carry
+        else:
+            hidden, kc, vc = carry
+        lp = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+            lp_all)
+        residual = hidden
+        x = _norm(hidden, lp["input_layernorm"], cfg)
+        q, k, v = _qkv(lp, cfg, x)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if quant:
+            k_w, k_s = quantize_kv_rows(k)
+            v_w, v_s = quantize_kv_rows(v)
+            ksc = ksc.at[l, bidx, qpos].set(k_s, mode="drop")
+            vsc = vsc.at[l, bidx, qpos].set(v_s, mode="drop")
+        else:
+            k_w, v_w = k.astype(kc.dtype), v.astype(vc.dtype)
+        kc = kc.at[l, bidx, qpos].set(k_w, mode="drop")
+        vc = vc.at[l, bidx, qpos].set(v_w, mode="drop")
+        layer_k = jax.lax.dynamic_index_in_dim(kc, l, 0, keepdims=False)
+        layer_v = jax.lax.dynamic_index_in_dim(vc, l, 0, keepdims=False)
+        if quant:
+            k_sl = jax.lax.dynamic_index_in_dim(ksc, l, 0, keepdims=False)
+            v_sl = jax.lax.dynamic_index_in_dim(vsc, l, 0, keepdims=False)
+            layer_k = (layer_k.astype(jnp.float32)
+                       * k_sl[..., None]).astype(act_dtype)
+            layer_v = (layer_v.astype(jnp.float32)
+                       * v_sl[..., None]).astype(act_dtype)
+        kq = repeat_kv(layer_k, cfg.kv_groups)
+        vq = repeat_kv(layer_v, cfg.kv_groups)
+        attn = mha_attention(q, kq, vq, mask=mask)
+        hidden = residual + _proj(lp["o_proj"], attn.reshape(b, kk, -1))
+        residual = hidden
+        x = _norm(hidden, lp["post_attention_layernorm"], cfg)
+        hidden = residual + _layer_mlp(lp, x, cfg.mlp_act, cfg)
+        if quant:
+            return hidden, kc, vc, ksc, vsc
+        return hidden, kc, vc
+
+    if quant:
+        hidden, kc, vc, ksc, vsc = jax.lax.fori_loop(
+            0, cfg.num_hidden_layers, layer_body,
+            (token_embeds, cache.k, cache.v, cache.k_scale, cache.v_scale))
+    else:
+        hidden, kc, vc = jax.lax.fori_loop(
+            0, cfg.num_hidden_layers, layer_body,
+            (token_embeds, cache.k, cache.v))
+        ksc, vsc = cache.k_scale, cache.v_scale
+    return hidden, KVCache(k=kc, v=vc, length=cache.length,
+                           k_scale=ksc, v_scale=vsc)
+
+
 def decode_step(
     params,
     cfg: LMConfig,

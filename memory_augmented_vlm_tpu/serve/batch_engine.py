@@ -98,6 +98,33 @@ def _prefill_chunk_into_slot(params, cfg: VLMConfig, emb_chunk, off,
     return logits, cache._replace(length=length)
 
 
+def _spec_verify_step(params, cfg: VLMConfig, chunk_toks, cache, active,
+                      *, max_len: int):
+    """Batched speculative verification: one K-token forward for every
+    active slot (qwen2.decode_chunk_batched with per-row starts). Row b's
+    chunk is [g0_b, drafts...]; the longest prefix whose greedy
+    predictions match the proposal is accepted. Inactive rows park their
+    start at max_len so their writes drop. Returns (accepted draft counts
+    (B,), next logits (B, V), cache with active lengths advanced by
+    1 + accepted)."""
+    lm = params["language_model"]
+    b, kk = chunk_toks.shape
+    act_dtype = jnp.bfloat16 if cfg.lm.dtype == "bfloat16" else jnp.float32
+    starts = jnp.where(active, cache.length, max_len)
+    emb = qwen2.embed_tokens(lm, chunk_toks, cfg.lm).astype(act_dtype)
+    hidden, cache = qwen2.decode_chunk_batched(
+        lm, cfg.lm, emb, cache, starts, rope_seq_len=max_len)
+    logits_all = qwen2.unembed(lm, cfg.lm, hidden)       # (B, K, V)
+    preds = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)
+    acc = jnp.cumprod((preds[:, :-1] == chunk_toks[:, 1:]).astype(jnp.int32),
+                      axis=1)
+    n_acc = jnp.sum(acc, axis=1)                         # (B,)
+    next_logits = jnp.take_along_axis(
+        logits_all, n_acc[:, None, None], axis=1)[:, 0]  # (B, V)
+    length = jnp.where(active, cache.length + 1 + n_acc, cache.length)
+    return n_acc, next_logits, cache._replace(length=length)
+
+
 def _decode_step(params, cfg: VLMConfig, logits, cache,
                  active, temps, top_ps, rng):
     """One token for every slot. Inactive slots decode garbage into their own
@@ -131,6 +158,21 @@ def _decode_step(params, cfg: VLMConfig, logits, cache,
     return tok, new_logits, cache
 
 
+def _bigram_draft(hist: list, g0: int, k: int) -> np.ndarray:
+    """[g0, k-1 proposal tokens]: the continuation after the last
+    occurrence of the (hist[-1], g0) bigram in the corpus, padded with g0
+    (any draft is correctness-neutral — mismatches just reject)."""
+    out = np.full((k,), g0, np.int32)
+    if hist:
+        t_prev = hist[-1]
+        for j in range(len(hist) - 2, -1, -1):
+            if hist[j] == t_prev and hist[j + 1] == g0:
+                cont = hist[j + 2:j + 1 + k]
+                out[1:1 + len(cont)] = cont
+                break
+    return out
+
+
 @dataclass
 class _Request:
     embeds: np.ndarray            # (S, H) spliced sequence (suffix only
@@ -142,11 +184,14 @@ class _Request:
     top_p: float = 1.0
     stop_sequences: Tuple[Tuple[int, ...], ...] = ()
     use_prefix: bool = False
+    draft_ids: Tuple[int, ...] = ()   # prompt text ids seeding the
+                                      # speculation lookup corpus
     out: "queue.Queue[Optional[np.ndarray]]" = field(
         default_factory=queue.Queue)
     slot: int = -1
     emitted: int = 0
     recent: list = field(default_factory=list)  # host-side stop-seq tail
+    history: list = field(default_factory=list)  # lookup corpus
 
     def hits_stop(self, tok: int) -> bool:
         if not self.stop_sequences:
@@ -164,7 +209,8 @@ class BatchEngine:
 
     def __init__(self, params, cfg: VLMConfig, *, num_slots: int = 4,
                  max_len: int = 2048, pad_to_multiple: int = 128,
-                 kv_int8: bool = False, chunk_prefill: int = 0):
+                 kv_int8: bool = False, chunk_prefill: int = 0,
+                 speculative: int = 0):
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
@@ -185,6 +231,17 @@ class BatchEngine:
             functools.partial(_prefill_into_slot, max_len=max_len),
             static_argnames=("cfg",))
         self._step = jax.jit(_decode_step, static_argnames=("cfg",))
+        # speculative = K > 1: greedy-only ticks verify K tokens per slot
+        # per LM forward (prompt-lookup drafts from per-request histories);
+        # ticks with any sampled or near-max_len slot fall back to the
+        # plain one-token step
+        self.speculative = int(speculative)
+        if self.speculative:
+            if self.speculative < 2:
+                raise ValueError("speculative must be >= 2 tokens")
+            self._verify = jax.jit(
+                functools.partial(_spec_verify_step, max_len=max_len),
+                static_argnames=("cfg",))
         # chunk_prefill > 0: prompts longer than the chunk prefill
         # incrementally (one chunk per tick) so admission of a long video
         # prompt never stalls active slots for a whole-prompt prefill
@@ -202,6 +259,9 @@ class BatchEngine:
         self._prefix: Optional[Tuple] = None
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._slots: List[Optional[_Request]] = [None] * num_slots
+        # forward/token counters (speculation telemetry; read-only for
+        # callers — tokens/decode_forwards = mean accepted run length)
+        self.stats = {"decode_forwards": 0, "spec_forwards": 0, "tokens": 0}
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
@@ -249,17 +309,22 @@ class BatchEngine:
                temperature: float = 0.0, top_p: float = 1.0,
                stop_sequences: Tuple[Tuple[int, ...], ...] = (),
                use_prefix: bool = False,
+               draft_ids: Tuple[int, ...] = (),
                ) -> "queue.Queue[Optional[np.ndarray]]":
         """Enqueue a spliced sequence; returns a queue yielding np token
         chunks and a final None sentinel. top_p applies per row inside the
         batched sampler; stop_sequences match host-side per token.
         use_prefix=True: `embeds` is the SUFFIX after the shared prefix
-        registered with set_prefix()."""
+        registered with set_prefix(). draft_ids: the prompt's text token
+        ids — seeds the speculation lookup corpus when the engine runs
+        with speculative=K."""
         req = _Request(np.asarray(embeds), max_new_tokens,
                        tuple(eos_token_ids), float(temperature),
                        float(top_p),
                        tuple(tuple(int(t) for t in s) for s in stop_sequences),
-                       use_prefix=use_prefix)
+                       use_prefix=use_prefix,
+                       draft_ids=tuple(int(t) for t in draft_ids))
+        req.history = list(req.draft_ids)
         self._queue.put(req)
         return req.out
 
@@ -401,6 +466,20 @@ class BatchEngine:
         else:
             self._pending = (req, slot, off + cv, base)
 
+    def _emit_token(self, slot, req, t: int, length: int) -> bool:
+        """Emit one token to the caller; returns True when the slot
+        closed. eos is emitted and counted, matching vlm.generate's
+        GenerateResult (callers strip specials when decoding)."""
+        done = t in req.eos_ids or req.hits_stop(t)
+        req.out.put(np.asarray([t], np.int32))
+        req.emitted += 1
+        self.stats["tokens"] += 1
+        if done or req.emitted >= req.max_new_tokens or length >= self.max_len:
+            req.out.put(None)
+            self._slots[slot] = None
+            return True
+        return False
+
     def _tick(self):
         self._admit()
         self._advance_chunk()
@@ -409,23 +488,64 @@ class BatchEngine:
             if pending_req is None:
                 self._stop.wait(0.01)  # idle: nothing admitted this round
             return
-        active = jnp.asarray([r is not None and r is not pending_req
-                              for r in self._slots])
+        actives = [r is not None and r is not pending_req
+                   for r in self._slots]
+        if self.speculative and self._can_speculate(actives):
+            self._spec_tick(actives)
+            return
+        active = jnp.asarray(actives)
+        self.stats["decode_forwards"] += 1
         self._rng, sub = jax.random.split(self._rng)
         tok, self._logits, self._cache = self._step(
             self.params, self.cfg, self._logits, self._cache,
             active, self._temps, self._topps, sub)
         toks = np.asarray(tok)
+        lengths = np.asarray(self._cache.length)
         for slot, req in enumerate(self._slots):
             if req is None or req is pending_req:
                 continue
             t = int(toks[slot])
-            done = t in req.eos_ids or req.hits_stop(t)
-            # eos is emitted and counted, matching vlm.generate's
-            # GenerateResult (callers strip specials when decoding)
-            req.out.put(np.asarray([t], np.int32))
-            req.emitted += 1
-            if done or req.emitted >= req.max_new_tokens or (
-                    int(self._cache.length[slot]) >= self.max_len):
-                req.out.put(None)
-                self._slots[slot] = None
+            req.history.append(t)
+            self._emit_token(slot, req, t, int(lengths[slot]))
+
+    def _can_speculate(self, actives) -> bool:
+        """Speculative ticks are greedy-only and need K rows of cache
+        headroom per active slot (near-boundary writes would drop and
+        leave accepted tokens without their K/V)."""
+        lengths = np.asarray(self._cache.length)
+        for slot, req in enumerate(self._slots):
+            if not actives[slot]:
+                continue
+            if req.temperature > 0:
+                return False
+            if int(lengths[slot]) + self.speculative > self.max_len:
+                return False
+        return True
+
+    def _spec_tick(self, actives):
+        """One speculative round: K tokens verified per active slot in a
+        single batched forward; per-slot prompt-lookup drafts."""
+        k = self.speculative
+        self.stats["decode_forwards"] += 1
+        self.stats["spec_forwards"] += 1
+        g0 = np.asarray(jnp.argmax(self._logits, axis=-1))
+        chunks = np.zeros((self.num_slots, k), np.int32)
+        for slot, req in enumerate(self._slots):
+            if actives[slot]:
+                chunks[slot] = _bigram_draft(req.history, int(g0[slot]), k)
+        n_acc, self._logits, self._cache = self._verify(
+            self.params, self.cfg, jnp.asarray(chunks), self._cache,
+            jnp.asarray(actives))
+        n_acc = np.asarray(n_acc)
+        lengths = np.asarray(self._cache.length)
+        for slot, req in enumerate(self._slots):
+            if not actives[slot]:
+                continue
+            emitted = 1 + int(n_acc[slot])
+            base_len = int(lengths[slot]) - emitted
+            for i, t in enumerate(chunks[slot][:emitted].tolist()):
+                req.history.append(int(t))
+                # per-token length (base + i + 1) keeps the max_len close
+                # point identical to the one-token-per-tick path
+                if self._emit_token(slot, req, int(t), base_len + i + 1):
+                    break

@@ -35,7 +35,8 @@ class SGLangWorker(ModelWorker):
     """ModelWorker with the generate path swapped for the batch engine."""
 
     def __init__(self, *args, num_slots: int = 4, max_len: int = 4096,
-                 kv_int8: bool = False, chunk_prefill: int = 0, **kwargs):
+                 kv_int8: bool = False, chunk_prefill: int = 0,
+                 speculative: int = 0, **kwargs):
         super().__init__(*args, **kwargs)
         # kv_int8 halves the slot-pool cache footprint — the lever for more
         # concurrent long-video contexts per chip; chunk_prefill > 0 admits
@@ -44,7 +45,8 @@ class SGLangWorker(ModelWorker):
         self.engine = BatchEngine(self.model.params, self.model.cfg,
                                   num_slots=num_slots, max_len=max_len,
                                   kv_int8=kv_int8,
-                                  chunk_prefill=chunk_prefill).start()
+                                  chunk_prefill=chunk_prefill,
+                                  speculative=speculative).start()
 
     def generate_stream(self, params: dict):
         self.queue_length += 1
@@ -82,7 +84,9 @@ class SGLangWorker(ModelWorker):
                 eos_token_ids=(eos,),
                 temperature=float(params.get("temperature", 0.0)),
                 top_p=float(top_p) if top_p is not None else 1.0,
-                stop_sequences=tuple(stop_seqs))
+                stop_sequences=tuple(stop_seqs),
+                # prompt TEXT ids seed the speculation lookup corpus
+                draft_ids=tuple(int(t) for t in ids if t >= 0))
             text = ""
             all_tokens: list = []
             while True:

@@ -294,3 +294,88 @@ def test_empty_suffix_rejected(tiny):
             _reference(params, cfg, ids, 3))
     finally:
         engine.shutdown()
+
+
+@pytest.mark.parametrize("kv_int8", [False, True], ids=["bf16kv", "int8kv"])
+def test_engine_speculative_matches_plain(tiny, kv_int8):
+    """speculative=K: batched prompt-lookup verification emits exactly the
+    plain engine's greedy tokens across concurrent slots, in fewer LM
+    forwards on repetitive outputs."""
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=2, max_len=256,
+                         speculative=4, kv_int8=kv_int8).start()
+    try:
+        rng = np.random.default_rng(43)
+        prompts = [rng.integers(0, 1000, size=(n,)) for n in (6, 4, 7)]
+        want = [_reference(params, cfg, p, 10) for p in prompts]
+        results = [None] * len(prompts)
+
+        def run(i):
+            results[i] = engine.generate(
+                _embeds(params, prompts[i]), max_new_tokens=10,
+                eos_token_ids=(49999,), draft_ids=prompts[i])
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(prompts))]
+        for i, t in enumerate(threads):
+            t.start()
+            if i == 0:
+                time.sleep(0.05)
+        for t in threads:
+            t.join(timeout=180)
+        for i, (got, exp) in enumerate(zip(results, want)):
+            assert got is not None, f"request {i} timed out"
+            np.testing.assert_array_equal(got, exp, err_msg=f"request {i}")
+    finally:
+        engine.shutdown()
+
+
+def test_engine_speculative_sampled_falls_back(tiny):
+    """A sampled request in the pool forces plain one-token ticks; greedy
+    requests beside it still match the reference."""
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=2, max_len=128,
+                         speculative=4).start()
+    try:
+        rng = np.random.default_rng(47)
+        greedy_ids = rng.integers(0, 1000, size=(5,))
+        want = _reference(params, cfg, greedy_ids, 6)
+        results = {}
+
+        def run(name, ids, temp):
+            results[name] = engine.generate(
+                _embeds(params, ids), max_new_tokens=6,
+                eos_token_ids=(49999,), temperature=temp,
+                draft_ids=ids)
+
+        ts = [threading.Thread(target=run, args=("g", greedy_ids, 0.0)),
+              threading.Thread(target=run,
+                               args=("s", rng.integers(0, 1000, size=(4,)),
+                                     0.9))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=180)
+        np.testing.assert_array_equal(results["g"], want)
+        assert results["s"] is not None and len(results["s"]) == 6
+    finally:
+        engine.shutdown()
+
+
+def test_engine_speculation_engages(tiny):
+    """On a degenerate-repeat model, speculative ticks must emit more
+    tokens than LM forwards (the stats counters prove acceptance)."""
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=1, max_len=128,
+                         speculative=4).start()
+    try:
+        rng = np.random.default_rng(53)
+        ids = rng.integers(0, 1000, size=(5,))
+        got = engine.generate(_embeds(params, ids), max_new_tokens=16,
+                              eos_token_ids=(49999,), draft_ids=ids)
+        assert len(got) == 16
+        st = engine.stats
+        assert st["spec_forwards"] > 0
+        assert st["tokens"] > st["decode_forwards"], st
+    finally:
+        engine.shutdown()

@@ -9,3 +9,4 @@ timeout 1200 python bench_throughput.py 2>&1 | tail -3
 timeout 1200 python bench_serving.py --num_slots 4 2>&1 | tail -2
 timeout 1200 python bench_serving.py --num_slots 4 --kv_int8 2>&1 | tail -2
 timeout 1200 python bench_serving.py --num_slots 4 --kv_int8 --chunk_prefill 512 2>&1 | tail -2
+timeout 1200 python bench_serving.py --num_slots 4 --kv_int8 --speculative 4 2>&1 | tail -2
