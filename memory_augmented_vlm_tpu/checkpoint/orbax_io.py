@@ -17,16 +17,36 @@ import numpy as np
 import jax
 
 
-def save_checkpoint(ckpt_dir: str, state: Any, step: int, keep: int = 2) -> str:
-    """Save a TrainState (or any pytree) under ckpt_dir/checkpoint-<step>."""
+_ASYNC_CKPTR = None  # one process-wide checkpointer so async saves serialize
+
+
+def save_checkpoint(ckpt_dir: str, state: Any, step: int, keep: int = 2,
+                    block: bool = True) -> str:
+    """Save a TrainState (or any pytree) under ckpt_dir/checkpoint-<step>.
+
+    block=False returns as soon as the on-device state is snapshotted and
+    lets orbax write to disk in the background (training overlaps the
+    serialization — call `wait_for_checkpoints()` before exiting). A new
+    save always waits for the previous async one first."""
+    global _ASYNC_CKPTR
     import orbax.checkpoint as ocp
 
     path = os.path.join(os.path.abspath(ckpt_dir), f"checkpoint-{step}")
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state)
-    ckptr.wait_until_finished()
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+    _ASYNC_CKPTR.wait_until_finished()
+    _ASYNC_CKPTR.save(path, state)
+    if block:
+        _ASYNC_CKPTR.wait_until_finished()
+    # gc only removes OLDER checkpoint dirs; the in-flight newest survives
     _gc_checkpoints(ckpt_dir, keep)
     return path
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async save has fully landed on disk."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

@@ -297,8 +297,10 @@ def train(args) -> Dict[str, float]:
                         f"gnorm={last.get('grad_norm', 0):.3f} {timer.summary()}")
         if args.save_steps and step % args.save_steps == 0:
             with timer.section("checkpoint"):
+                # async: the disk write overlaps the next train steps
                 orbax_io.save_checkpoint(args.output_dir, state, step,
-                                         keep=args.save_total_limit)
+                                         keep=args.save_total_limit,
+                                         block=False)
                 last_saved = step
 
     mesh_ctx.__exit__(None, None, None)
@@ -307,6 +309,7 @@ def train(args) -> Dict[str, float]:
             f"WARNING: dataset too small to fill a batch of {bsz}; "
             f"{sum(len(q) for q in queues.values())} samples queued but never "
             "trained — reduce batch size or add data")
+    orbax_io.wait_for_checkpoints()
     final_path = os.path.join(args.output_dir, f"checkpoint-{step}")
     if step > 0 and not os.path.exists(final_path):
         orbax_io.save_checkpoint(args.output_dir, state, step,

@@ -195,6 +195,16 @@ def test_orbax_save_restore(tmp_path):
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # async save: returns before the write must land; wait_for_checkpoints
+    # makes it durable and restore round-trips
+    orbax_io.save_checkpoint(str(tmp_path), params, step=30, block=False)
+    orbax_io.wait_for_checkpoints()
+    assert orbax_io.latest_checkpoint(str(tmp_path)).endswith("checkpoint-30")
+    restored = orbax_io.restore_checkpoint(
+        orbax_io.latest_checkpoint(str(tmp_path)), params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_preprocess_plain():
     tok = FakeTokenizer()
