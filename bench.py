@@ -129,6 +129,10 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="0.5b", choices=["0.5b", "7b"])
+    ap.add_argument("--lm_int8", action="store_true",
+                    help="0.5b only: also serve the LM int8 (the reference's "
+                    "load_8bit quantizes the LM via bitsandbytes, "
+                    "builder.py:30-34); 7b is always int8 (HBM bound)")
     args, _ = ap.parse_known_args()
 
     if args.model == "7b":
@@ -159,8 +163,12 @@ def main():
             cfg, pipeline=dataclasses.replace(cfg.pipeline, tower_int8=True))
         params = vlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
         params["vision_tower"] = siglip.prequantize_int8(params["vision_tower"])
-        pipeline, nseg = build_pipeline(cfg)
         metric_name = "visual_tokens_per_s_64frame_clip_to_answer_0.5b"
+        if args.lm_int8:
+            params["language_model"] = qwen2.prequantize_int8(
+                params["language_model"])
+            metric_name += "_lm_int8"
+        pipeline, nseg = build_pipeline(cfg)
         baseline = A100_BASELINE_VISUAL_TOKENS_PER_S
 
     rng = np.random.default_rng(0)

@@ -191,10 +191,15 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
                 interpret=_interpret,
             )
             if pad_stream:
+                # block_q=64: at 128 the in-context kernel's scoped VMEM
+                # lands 192 KB over the 16 MB limit (double-buffered K/V at
+                # head_dim 72 padded to 128 lanes dominates; the standalone
+                # kernel fits only because XLA picks different operand
+                # layouts there). 64 fits with headroom, ~equal standalone.
                 hidden = flash_attention_out_proj_int8(
                     q, k, v, kv_valid, hidden,
                     lp["out_proj"]["kernel_int8"], lp["out_proj"]["scale"],
-                    lp["out_proj"]["bias"], interpret=_interpret,
+                    lp["out_proj"]["bias"], block_q=64, interpret=_interpret,
                 )
             else:
                 attn = flash_attention_merge_heads(

@@ -98,16 +98,22 @@ def _prefill_chunk_into_slot(params, cfg: VLMConfig, emb_chunk, off,
     return logits, cache._replace(length=length)
 
 
-def _spec_verify_step(params, cfg: VLMConfig, chunk_toks, cache, active,
+def _spec_verify_step(params, cfg: VLMConfig, logits, drafts, cache, active,
                       *, max_len: int):
     """Batched speculative verification: one K-token forward for every
     active slot (qwen2.decode_chunk_batched with per-row starts). Row b's
-    chunk is [g0_b, drafts...]; the longest prefix whose greedy
-    predictions match the proposal is accepted. Inactive rows park their
-    start at max_len so their writes drop. Returns (accepted draft counts
-    (B,), next logits (B, V), cache with active lengths advanced by
-    1 + accepted)."""
+    chunk is [argmax(logits_b), drafts_b...] — the chunk head comes from
+    the IN-GRAPH argmax so the host never round-trips for it (one device
+    sync per round, same as the plain tick; the old g0-fetch design paid
+    two, which dominates dispatch-bound serving). The longest chunk prefix
+    whose greedy predictions match is accepted. Inactive rows park their
+    start at max_len so their writes drop. Returns (packed (B, 1 + K)
+    int32 = [accepted draft count | chunk tokens] — one array so the host
+    pays ONE fetch round-trip per round, next logits (B, V), cache with
+    active lengths advanced by 1 + accepted)."""
     lm = params["language_model"]
+    g0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    chunk_toks = jnp.concatenate([g0[:, None], drafts], axis=1)
     b, kk = chunk_toks.shape
     act_dtype = jnp.bfloat16 if cfg.lm.dtype == "bfloat16" else jnp.float32
     starts = jnp.where(active, cache.length, max_len)
@@ -122,7 +128,8 @@ def _spec_verify_step(params, cfg: VLMConfig, chunk_toks, cache, active,
     next_logits = jnp.take_along_axis(
         logits_all, n_acc[:, None, None], axis=1)[:, 0]  # (B, V)
     length = jnp.where(active, cache.length + 1 + n_acc, cache.length)
-    return n_acc, next_logits, cache._replace(length=length)
+    packed = jnp.concatenate([n_acc[:, None], chunk_toks], axis=1)
+    return packed, next_logits, cache._replace(length=length)
 
 
 def _decode_step(params, cfg: VLMConfig, logits, cache,
@@ -158,19 +165,28 @@ def _decode_step(params, cfg: VLMConfig, logits, cache,
     return tok, new_logits, cache
 
 
-def _bigram_draft(hist: list, g0: int, k: int) -> np.ndarray:
-    """[g0, k-1 proposal tokens]: the continuation after the last
-    occurrence of the (hist[-1], g0) bigram in the corpus, padded with g0
-    (any draft is correctness-neutral — mismatches just reject)."""
-    out = np.full((k,), g0, np.int32)
-    if hist:
-        t_prev = hist[-1]
-        for j in range(len(hist) - 2, -1, -1):
-            if hist[j] == t_prev and hist[j + 1] == g0:
-                cont = hist[j + 2:j + 1 + k]
-                out[1:1 + len(cont)] = cont
-                break
-    return out
+def _lookup_draft(hist: list, n: int) -> Tuple[np.ndarray, bool]:
+    """n proposal tokens for the positions AFTER the next (still
+    device-side) greedy token, plus a hit flag. Keys on the corpus's last
+    bigram (hist[-2], hist[-1]) — the HF prompt-lookup scheme — so the
+    draft needs no host fetch of the pending argmax: if the last match of
+    that bigram sits at j, the corpus predicts hist[j+2] for the pending
+    token and hist[j+3:] for the draft positions; when the in-graph
+    argmax disagrees with hist[j+2] the drafts simply all reject (any
+    draft is correctness-neutral). hit=False means the lookup found
+    nothing — the caller should take a plain one-token tick instead of
+    paying the verify forward."""
+    out = np.zeros((n,), np.int32)
+    if len(hist) < 2:
+        return out, False
+    a, b = hist[-2], hist[-1]
+    for j in range(len(hist) - 4, -1, -1):
+        if hist[j] == a and hist[j + 1] == b:
+            cont = hist[j + 3:j + 3 + n]  # non-empty: j <= len-4
+            out[:len(cont)] = cont
+            out[len(cont):] = cont[-1]
+            return out, True
+    return out, False
 
 
 @dataclass
@@ -242,6 +258,11 @@ class BatchEngine:
             self._verify = jax.jit(
                 functools.partial(_spec_verify_step, max_len=max_len),
                 static_argnames=("cfg",))
+        # adaptive speculation: consecutive zero-acceptance rounds trigger
+        # an exponentially growing cooldown of plain ticks (reset on any
+        # acceptance) so incompressible streams degrade to ~plain cost
+        self._spec_zero_rounds = 0
+        self._spec_cooldown = 0
         # chunk_prefill > 0: prompts longer than the chunk prefill
         # incrementally (one chunk per tick) so admission of a long video
         # prompt never stalls active slots for a whole-prompt prefill
@@ -259,6 +280,10 @@ class BatchEngine:
         self._prefix: Optional[Tuple] = None
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._slots: List[Optional[_Request]] = [None] * num_slots
+        # host mirror of cache.length per slot (set at activation, advanced
+        # by each tick) — keeps the decode loop free of pre-dispatch device
+        # fetches, which cost a full dispatch round-trip each
+        self._len: List[int] = [0] * num_slots
         # forward/token counters (speculation telemetry; read-only for
         # callers — tokens/decode_forwards = mean accepted run length)
         self.stats = {"decode_forwards": 0, "spec_forwards": 0, "tokens": 0}
@@ -414,6 +439,7 @@ class BatchEngine:
             self._topps = self._topps.at[slot].set(req.top_p)
             req.slot = slot
             self._slots[slot] = req
+            self._len[slot] = s
 
     def _loop(self):
         while not self._stop.is_set():
@@ -463,6 +489,7 @@ class BatchEngine:
             self._temps = self._temps.at[slot].set(req.temperature)
             self._topps = self._topps.at[slot].set(req.top_p)
             self._pending = None
+            self._len[slot] = off + cv
         else:
             self._pending = (req, slot, off + cv, base)
 
@@ -491,8 +518,11 @@ class BatchEngine:
         actives = [r is not None and r is not pending_req
                    for r in self._slots]
         if self.speculative and self._can_speculate(actives):
-            self._spec_tick(actives)
-            return
+            if self._spec_cooldown > 0:
+                self._spec_cooldown -= 1
+            elif self._spec_tick(actives):
+                return
+            # no lookup hit on any slot (or cooling down): plain tick
         active = jnp.asarray(actives)
         self.stats["decode_forwards"] += 1
         self._rng, sub = jax.random.split(self._rng)
@@ -500,52 +530,67 @@ class BatchEngine:
             self.params, self.cfg, self._logits, self._cache,
             active, self._temps, self._topps, sub)
         toks = np.asarray(tok)
-        lengths = np.asarray(self._cache.length)
         for slot, req in enumerate(self._slots):
             if req is None or req is pending_req:
                 continue
             t = int(toks[slot])
             req.history.append(t)
-            self._emit_token(slot, req, t, int(lengths[slot]))
+            self._len[slot] += 1
+            self._emit_token(slot, req, t, self._len[slot])
 
     def _can_speculate(self, actives) -> bool:
         """Speculative ticks are greedy-only and need K rows of cache
         headroom per active slot (near-boundary writes would drop and
-        leave accepted tokens without their K/V)."""
-        lengths = np.asarray(self._cache.length)
+        leave accepted tokens without their K/V). Uses the host length
+        mirror — no device fetch."""
         for slot, req in enumerate(self._slots):
             if not actives[slot]:
                 continue
             if req.temperature > 0:
                 return False
-            if int(lengths[slot]) + self.speculative > self.max_len:
+            if self._len[slot] + self.speculative > self.max_len:
                 return False
         return True
 
-    def _spec_tick(self, actives):
+    def _spec_tick(self, actives) -> bool:
         """One speculative round: K tokens verified per active slot in a
-        single batched forward; per-slot prompt-lookup drafts."""
+        single batched forward; per-slot prompt-lookup drafts built from
+        history alone (no device fetch before dispatch). Returns False —
+        take a plain tick — when no slot has a lookup hit."""
         k = self.speculative
-        self.stats["decode_forwards"] += 1
-        self.stats["spec_forwards"] += 1
-        g0 = np.asarray(jnp.argmax(self._logits, axis=-1))
-        chunks = np.zeros((self.num_slots, k), np.int32)
+        drafts = np.zeros((self.num_slots, k - 1), np.int32)
+        any_hit = False
         for slot, req in enumerate(self._slots):
             if actives[slot]:
-                chunks[slot] = _bigram_draft(req.history, int(g0[slot]), k)
-        n_acc, self._logits, self._cache = self._verify(
-            self.params, self.cfg, jnp.asarray(chunks), self._cache,
-            jnp.asarray(actives))
-        n_acc = np.asarray(n_acc)
-        lengths = np.asarray(self._cache.length)
+                drafts[slot], hit = _lookup_draft(req.history, k - 1)
+                any_hit = any_hit or hit
+        if not any_hit:
+            return False
+        self.stats["decode_forwards"] += 1
+        self.stats["spec_forwards"] += 1
+        packed, self._logits, self._cache = self._verify(
+            self.params, self.cfg, self._logits, jnp.asarray(drafts),
+            self._cache, jnp.asarray(actives))
+        packed = np.asarray(packed)  # single fetch: [n_acc | chunk tokens]
+        n_acc, chunks = packed[:, 0], packed[:, 1:]
+        total_accepted = 0
         for slot, req in enumerate(self._slots):
             if not actives[slot]:
                 continue
             emitted = 1 + int(n_acc[slot])
-            base_len = int(lengths[slot]) - emitted
+            total_accepted += int(n_acc[slot])
+            base_len = self._len[slot]
+            self._len[slot] += emitted
             for i, t in enumerate(chunks[slot][:emitted].tolist()):
                 req.history.append(int(t))
                 # per-token length (base + i + 1) keeps the max_len close
                 # point identical to the one-token-per-tick path
                 if self._emit_token(slot, req, int(t), base_len + i + 1):
                     break
+        if total_accepted == 0:
+            self._spec_zero_rounds += 1
+            if self._spec_zero_rounds >= 2:
+                self._spec_cooldown = min(32, 2 ** (self._spec_zero_rounds - 1))
+        else:
+            self._spec_zero_rounds = 0
+        return True

@@ -379,3 +379,47 @@ def test_engine_speculation_engages(tiny):
         assert st["tokens"] > st["decode_forwards"], st
     finally:
         engine.shutdown()
+
+
+def test_engine_speculation_skips_without_lookup_hit(tiny):
+    """An incompressible stream (no repeated bigram in the corpus) must
+    never pay a verify forward: every tick falls back to the plain path.
+    A lookup hit needs >= 4 generated tokens past a unique-bigram prompt,
+    so max_new_tokens=4 guarantees zero hits even on a fixed-point model."""
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=1, max_len=128,
+                         speculative=4).start()
+    try:
+        ids = np.arange(100, 108)  # all bigrams unique
+        want = _reference(params, cfg, ids, 4)
+        got = engine.generate(_embeds(params, ids), max_new_tokens=4,
+                              eos_token_ids=(49999,), draft_ids=ids)
+        np.testing.assert_array_equal(got, want)
+        assert engine.stats["spec_forwards"] == 0, engine.stats
+        assert engine.stats["decode_forwards"] == 4, engine.stats
+    finally:
+        engine.shutdown()
+
+
+def test_engine_speculation_cooldown_on_rejection(tiny):
+    """A corpus whose repeated bigram predicts the WRONG continuation
+    engages speculation (lookup hits) but never accepts — the
+    zero-acceptance backoff must throttle verify forwards to a minority
+    of ticks while outputs stay bit-identical to plain greedy."""
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=1, max_len=256,
+                         speculative=4).start()
+    try:
+        # (7, 8) repeats with continuations the model will not emit
+        ids = np.array([7, 8, 101, 102, 7, 8, 103, 104, 7, 8])
+        want = _reference(params, cfg, ids, 16)
+        got = engine.generate(_embeds(params, ids), max_new_tokens=16,
+                              eos_token_ids=(49999,), draft_ids=ids)
+        np.testing.assert_array_equal(got, want)
+        st = engine.stats
+        assert st["spec_forwards"] >= 1, st           # speculation engaged
+        if st["tokens"] == st["decode_forwards"]:     # nothing accepted
+            # backoff kept verify forwards to a minority of ticks
+            assert st["spec_forwards"] * 2 <= st["decode_forwards"], st
+    finally:
+        engine.shutdown()
