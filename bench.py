@@ -38,17 +38,63 @@ NUM_FRAMES = 64
 MAX_NEW_TOKENS = 32
 
 
-def build_pipeline(cfg: VLMConfig):
-    nseg = NUM_FRAMES // cfg.memory.segment_frames
-    fine_idx = jnp.asarray(vlm.fine_frame_indices(NUM_FRAMES, cfg.memory.num_fine_frames))
-    frame_idx = jnp.arange(NUM_FRAMES)
-    frame_valid = jnp.ones((NUM_FRAMES,), bool)
+def baseline_visual_tokens_per_s(num_frames: int, model: str = "0.5b",
+                                 no_memory: bool = False) -> float:
+    """Generalize the modeled A100 baseline to other frame counts
+    (BASELINE.json configs 2-5 span 16-128 frames).
+
+    Same model as the 64-frame headline constants: SigLIP-SO400M ~0.81
+    TF/frame + LM prefill (2 * n_params * S FLOPs, S = 1568*ceil(F/32)
+    memory tokens + 6272 fine + text) at 35% MFU on 312 TF/s bf16, plus 32
+    HBM-bound decode steps (~10 ms at 0.5B, ~380 ms at 7B: 15.2 GB weights
+    / 2 TB/s + flash-attn-2 overheads). Returns exactly the pinned headline
+    constants at 64 frames.
+    """
+    if num_frames == NUM_FRAMES and not no_memory:
+        return (A100_BASELINE_7B_VISUAL_TOKENS_PER_S if model == "7b"
+                else A100_BASELINE_VISUAL_TOKENS_PER_S)
+    if no_memory:
+        # plain pooled video branch: 196 + newline per frame + text
+        s_tokens = 197 * num_frames + 15
+    else:
+        nseg = (num_frames + 31) // 32
+        # 8*196 memory tokens/segment + 196/fine frame + vis prompts + text
+        s_tokens = 1568 * nseg + 196 * min(32, num_frames) + 36
+    n_params = 7.6e9 if model == "7b" else 0.5e9
+    tf = 0.81 * num_frames + 2 * n_params * s_tokens / 1e12
+    decode_s = 0.38 if model == "7b" else 0.010
+    time_s = tf / (312.0 * 0.35) + decode_s
+    return (s_tokens - 15) / time_s
+
+
+def build_pipeline(cfg: VLMConfig, num_frames: int = NUM_FRAMES,
+                   no_memory: bool = False):
+    # frames pad to the 32-frame segment multiple with a validity mask, the
+    # same contract as vlm.video_qa_embeds (16-frame short clips run one
+    # partially-valid segment)
+    fmax = vlm.pad_frames_to_segment_multiple(
+        num_frames, cfg.memory.segment_frames)
+    nseg = fmax // cfg.memory.segment_frames
+    fine_idx = jnp.asarray(vlm.fine_frame_indices(num_frames, cfg.memory.num_fine_frames))
+    frame_idx = jnp.arange(fmax)
+    frame_valid = jnp.arange(fmax) < num_frames
 
     def clip_to_answer(params, pixels, text_before, text_after):
-        feats = vlm.encode_frames(params, cfg, pixels)
-        visual = vlm.build_video_embeds(
-            params, cfg, feats, frame_idx, frame_valid, fine_idx, nseg=nseg
-        )
+        feats = vlm.encode_frames(params, cfg, pixels)  # (num_frames, 196, H)
+        if no_memory:
+            # BASELINE.json config 2: baseline frame pooling, no memory
+            # module — pooled per-frame features with image_newline rows
+            # (the reference's plain video branch, llava_arch.py:583-634)
+            visual = vlm.add_token_per_frame(
+                feats, params["memory"]["image_newline"])
+        else:
+            if fmax != num_frames:  # tower runs real frames; features pad
+                feats = jnp.pad(
+                    feats, ((0, fmax - num_frames), (0, 0), (0, 0)))
+            visual = vlm.build_video_embeds(
+                params, cfg, feats, frame_idx, frame_valid, fine_idx,
+                nseg=nseg,
+            )
         embeds = vlm.splice_image_embeds(params, text_before, visual, text_after)
         s = embeds.shape[0]
         smax = ((s + 127) // 128) * 128
@@ -133,7 +179,15 @@ def main():
                     help="0.5b only: also serve the LM int8 (the reference's "
                     "load_8bit quantizes the LM via bitsandbytes, "
                     "builder.py:30-34); 7b is always int8 (HBM bound)")
+    ap.add_argument("--frames", type=int, default=NUM_FRAMES,
+                    help="clip length; BASELINE.json configs span 16-128 "
+                    "(non-multiples of the 32-frame segment pad with a "
+                    "validity mask, e.g. 16 runs one half-valid segment)")
+    ap.add_argument("--no_memory", action="store_true",
+                    help="BASELINE.json config 2: baseline frame pooling, "
+                    "no memory module (plain pooled frames + image_newline)")
     args, _ = ap.parse_known_args()
+    nframes = args.frames
 
     if args.model == "7b":
         # 7B headline geometry (BASELINE.json configs 3-5) in the load_8bit
@@ -150,9 +204,12 @@ def main():
         params = vlm.init_params(shallow, jax.random.key(0), dtype=jnp.bfloat16)
         params["language_model"] = _init_lm_7b_int8(cfg.lm, jax.random.key(1))
         params["vision_tower"] = siglip.prequantize_int8(params["vision_tower"])
-        pipeline, nseg = build_pipeline(cfg)
-        metric_name = "visual_tokens_per_s_64frame_clip_to_answer_7b_int8"
-        baseline = A100_BASELINE_7B_VISUAL_TOKENS_PER_S
+        pipeline, nseg = build_pipeline(cfg, nframes, no_memory=args.no_memory)
+        metric_name = f"visual_tokens_per_s_{nframes}frame_clip_to_answer_7b_int8"
+        if args.no_memory:
+            metric_name += "_no_memory"
+        baseline = baseline_visual_tokens_per_s(nframes, "7b",
+                                                no_memory=args.no_memory)
     else:
         cfg = VLMConfig.onevision_0_5b()
         # serving config: frozen tower runs with static-scale prequantized int8
@@ -163,16 +220,19 @@ def main():
             cfg, pipeline=dataclasses.replace(cfg.pipeline, tower_int8=True))
         params = vlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
         params["vision_tower"] = siglip.prequantize_int8(params["vision_tower"])
-        metric_name = "visual_tokens_per_s_64frame_clip_to_answer_0.5b"
+        metric_name = f"visual_tokens_per_s_{nframes}frame_clip_to_answer_0.5b"
         if args.lm_int8:
             params["language_model"] = qwen2.prequantize_int8(
                 params["language_model"])
             metric_name += "_lm_int8"
-        pipeline, nseg = build_pipeline(cfg)
-        baseline = A100_BASELINE_VISUAL_TOKENS_PER_S
+        if args.no_memory:
+            metric_name += "_no_memory"
+        pipeline, nseg = build_pipeline(cfg, nframes, no_memory=args.no_memory)
+        baseline = baseline_visual_tokens_per_s(nframes, "0.5b",
+                                                no_memory=args.no_memory)
 
     rng = np.random.default_rng(0)
-    pixels = jnp.asarray(rng.standard_normal((NUM_FRAMES, 384, 384, 3)), jnp.bfloat16)
+    pixels = jnp.asarray(rng.standard_normal((nframes, 384, 384, 3)), jnp.bfloat16)
     text_before = jnp.asarray([151644, 872, 198], jnp.int32)
     text_after = jnp.asarray([3838, 374, 12482, 304, 419, 2766, 30, 151645, 198, 151644, 77091, 198], jnp.int32)
 
@@ -199,7 +259,7 @@ def main():
         "detail": {
             "latency_s": round(latency, 4),
             "visual_tokens": n_visual,
-            "frames": NUM_FRAMES,
+            "frames": nframes,
             "segments": nseg,
             "decode_tokens": MAX_NEW_TOKENS,
             "backend": jax.default_backend(),
