@@ -196,6 +196,9 @@ class PipelineConfig:
     frames_upbound: int = 300
     video_fps: int = 1
     force_sample: bool = False
+    # density-adaptive sampling ladder instead of the n*32 rule
+    # (dynamic_process_video_with_decord, llava/utils.py:55-89)
+    dynamic_video_sampling: bool = False
     # int8 quantized inference for the frozen tower (load_8bit equivalent)
     tower_int8: bool = False
     # Frame-count buckets used to keep shapes static under jit.

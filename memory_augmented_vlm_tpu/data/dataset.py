@@ -29,7 +29,7 @@ import numpy as np
 from memory_augmented_vlm_tpu import constants
 from memory_augmented_vlm_tpu.config import PipelineConfig
 from memory_augmented_vlm_tpu.data.preprocessing import SigLipImageProcessor
-from memory_augmented_vlm_tpu.data.video import load_video
+from memory_augmented_vlm_tpu.data.video import load_video, load_video_dynamic
 
 
 def load_data_manifest(data_path: str) -> List[Dict[str, Any]]:
@@ -197,7 +197,10 @@ class LazySupervisedDataset:
             path = item["video"]
             if self.video_folder and not os.path.isabs(path):
                 path = os.path.join(self.video_folder, path)
-            frames, video_time, frame_times, num = load_video(
+            loader = (load_video_dynamic
+                      if getattr(self.pipeline, "dynamic_video_sampling",
+                                 False) else load_video)
+            frames, video_time, frame_times, num = loader(
                 path,
                 video_fps=self.pipeline.video_fps,
                 frames_upbound=self.pipeline.frames_upbound,

@@ -49,6 +49,47 @@ def sample_frame_indices(
     return idx, times, num
 
 
+def dynamic_sample_frame_indices(
+    total_frames: int,
+    avg_fps: float,
+    video_fps: int = 1,
+    frames_upbound: int = 0,
+    force_sample: bool = False,
+) -> Tuple[List[int], List[float], int]:
+    """`dynamic_process_video_with_decord` sampling ladder
+    (llava/utils.py:55-89): <10 frames pad to 10 by repeating the last,
+    <100 frames keep all, >=100 s sample ~1/video_fps, otherwise oversample
+    so at least ~100 frames survive; then the upbound/force_sample uniform
+    resample. Returns (frame_idx, frame_times_s, num_frames_to_sample).
+
+    Bug-compatible detail: the ladder's frame times divide by the ROUNDED
+    fps ratio (the reference reassigns `avg_fps = round(fps/video_fps)`),
+    while the upbound branch divides by the true fps.
+    """
+    import math
+
+    video_time = total_frames / avg_fps
+    # reference: avg_fps = round(vr.get_avg_fps() / data_args.video_fps);
+    # clamped to >= 1 so sub-video_fps sources don't raise on a zero step
+    step = max(1, round(avg_fps / video_fps))
+    if total_frames < 10:
+        idx = list(range(total_frames)) + [total_frames - 1] * (10 - total_frames)
+    elif total_frames < 100:
+        idx = list(range(total_frames))
+    elif video_time >= 100:
+        idx = list(range(0, total_frames, step))
+    else:
+        effective_rate = math.ceil(100 / video_time)
+        interval = max(1, int(step / effective_rate))
+        idx = list(range(0, total_frames, interval))
+    times = [i / step for i in idx]
+
+    if frames_upbound > 0 and (len(idx) > frames_upbound or force_sample):
+        idx = np.linspace(0, total_frames - 1, frames_upbound, dtype=int).tolist()
+        times = [i / avg_fps for i in idx]
+    return idx, times, len(idx)
+
+
 def load_frames_from_dir(path: str) -> np.ndarray:
     """Directory of frame images (sorted) -> (F, H, W, 3) uint8."""
     from PIL import Image
@@ -166,6 +207,20 @@ def write_y4m(path: str, frames: np.ndarray, fps: int = 30) -> None:
                 out.write(np.clip(sub, 0, 255).astype(np.uint8).tobytes())
 
 
+def _load_source(video_path: str, video_fps: int) -> Tuple[np.ndarray, float]:
+    if os.path.isdir(video_path):
+        frames = load_frames_from_dir(video_path)
+        avg_fps = float(video_fps)  # frame dirs are assumed pre-sampled at 1fps
+    elif video_path.endswith((".pt", ".npy", ".npz")):
+        frames = load_frames_from_tensor(video_path)
+        avg_fps = float(video_fps)
+    elif video_path.endswith(".y4m"):
+        frames, avg_fps = load_y4m(video_path)
+    else:
+        frames, avg_fps = _decode_with_codec(video_path)
+    return frames, avg_fps
+
+
 def load_video(
     video_path: str,
     video_fps: int = 1,
@@ -177,23 +232,32 @@ def load_video(
     Returns (frames (F, H, W, 3), video_time_s, frame_times_str, num_sampled)
     — the `process_video_with_decord` contract (llava/utils.py:26-52).
     """
-    if os.path.isdir(video_path):
-        frames = load_frames_from_dir(video_path)
-        avg_fps = float(video_fps)  # frame dirs are assumed pre-sampled at 1fps
-    elif video_path.endswith((".pt", ".npy", ".npz")):
-        frames = load_frames_from_tensor(video_path)
-        avg_fps = float(video_fps)
-    elif video_path.endswith(".y4m"):
-        frames, avg_fps = load_y4m(video_path)
-    else:
-        frames, avg_fps = _decode_with_codec(video_path)
-
+    frames, avg_fps = _load_source(video_path, video_fps)
     total = frames.shape[0]
     idx, times, num = sample_frame_indices(total, avg_fps, video_fps)
     if frames_upbound > 0 and (len(idx) > frames_upbound or force_sample):
         idx = np.linspace(0, total - 1, frames_upbound, dtype=int).tolist()
         times = [i / avg_fps for i in idx]
         num = len(idx)
+    sampled = frames[np.asarray(idx)]
+    time_str = ",".join(f"{t:.2f}s" for t in times)
+    return sampled, total / avg_fps, time_str, num
+
+
+def load_video_dynamic(
+    video_path: str,
+    video_fps: int = 1,
+    frames_upbound: int = 0,
+    force_sample: bool = False,
+) -> Tuple[np.ndarray, float, str, int]:
+    """`dynamic_process_video_with_decord` counterpart (llava/utils.py:55-89)
+    over the same source loaders: density-adaptive sampling (pad tiny clips
+    to 10 frames, keep <100-frame clips whole, oversample short-but-dense
+    clips to ~100 frames) instead of the n*32 rule."""
+    frames, avg_fps = _load_source(video_path, video_fps)
+    total = frames.shape[0]
+    idx, times, num = dynamic_sample_frame_indices(
+        total, avg_fps, video_fps, frames_upbound, force_sample)
     sampled = frames[np.asarray(idx)]
     time_str = ",".join(f"{t:.2f}s" for t in times)
     return sampled, total / avg_fps, time_str, num

@@ -123,6 +123,39 @@ def test_sample_indices_reference_rule():
     assert idx == [0, 30, 60, 90, 120] and num == 5
 
 
+def test_dynamic_sample_indices_ladder():
+    # <10 frames: pad to 10 by repeating the last (utils.py:61-63)
+    idx, times, num = video.dynamic_sample_frame_indices(4, avg_fps=2.0)
+    assert idx == [0, 1, 2, 3] + [3] * 6 and num == 10
+    # <100 frames: keep all
+    idx, _, num = video.dynamic_sample_frame_indices(50, avg_fps=5.0)
+    assert idx == list(range(50)) and num == 50
+    # long video (>=100 s): ~1/video_fps via the rounded-ratio step
+    idx, times, num = video.dynamic_sample_frame_indices(3000, avg_fps=30.0)
+    assert idx == list(range(0, 3000, 30)) and num == 100
+    # bug-compatible times: ladder divides by the ROUNDED ratio
+    assert times[:3] == [0.0, 1.0, 2.0]
+    # short-but-dense (<100 s, >=100 frames): oversample to >= 100 frames
+    # t=10s, fps=30 -> eff=ceil(100/10)=10 -> interval=max(1, 30//10)=3
+    idx, _, num = video.dynamic_sample_frame_indices(300, avg_fps=30.0)
+    assert idx == list(range(0, 300, 3)) and num == 100
+    # upbound resample uses the TRUE fps for times (utils.py:79-82)
+    idx, times, num = video.dynamic_sample_frame_indices(
+        3000, avg_fps=30.0, frames_upbound=64, force_sample=True)
+    assert num == 64 and len(idx) == 64
+    np.testing.assert_allclose(times, [i / 30.0 for i in idx])
+
+
+def test_load_video_dynamic_contract(tmp_path):
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(40, 8, 8, 3), dtype=np.uint8)
+    np.save(tmp_path / "vid.npy", frames)
+    out, t, times, num = video.load_video_dynamic(str(tmp_path / "vid.npy"))
+    # 40 frames <100 -> keep all (the n*32 rule would have cut to 32)
+    assert out.shape[0] == 40 and num == 40 and t == 40.0
+    np.testing.assert_array_equal(out, frames)
+
+
 def test_dataset_retry_ladder(tmp_path):
     items = [
         {"id": 0, "video": "missing.npy", "conversations": [
