@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--kv_int8", action="store_true")
     ap.add_argument("--chunk_prefill", type=int, default=0)
     ap.add_argument("--speculative", type=int, default=0)
+    ap.add_argument("--decode_ticks", type=int, default=1)
     args = ap.parse_args()
 
     cfg = VLMConfig.onevision_0_5b()
@@ -46,7 +47,8 @@ def main():
     engine = BatchEngine(params, cfg, num_slots=args.num_slots,
                          max_len=args.max_len, kv_int8=args.kv_int8,
                          chunk_prefill=args.chunk_prefill,
-                         speculative=args.speculative).start()
+                         speculative=args.speculative,
+                         decode_ticks=args.decode_ticks).start()
     try:
         def submit():
             ids = rng.integers(0, 1000, size=(args.prompt_len,))
@@ -84,6 +86,7 @@ def main():
                 "kv_int8": args.kv_int8,
                 "chunk_prefill": args.chunk_prefill,
                 "speculative": args.speculative,
+                "decode_ticks": args.decode_ticks,
                 "engine_stats": dict(engine.stats),
                 "decode_tokens_timed": total,
                 "steady_s": round(dt, 3),

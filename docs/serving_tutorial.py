@@ -31,6 +31,9 @@ def main():
     p.add_argument("--max-len", type=int, default=4096)
     p.add_argument("--kv-int8", action="store_true")
     p.add_argument("--chunk-prefill", type=int, default=0)
+    p.add_argument("--decode-ticks", type=int, default=1,
+                   help="K decode steps per dispatch (multi-step "
+                   "scheduling; pays one host round-trip per K tokens)")
     p.add_argument("--max-new-tokens", type=int, default=128)
     args = p.parse_args()
 
@@ -46,7 +49,8 @@ def main():
     engine = BatchEngine(model.params, model.cfg,
                          num_slots=args.num_slots, max_len=args.max_len,
                          kv_int8=args.kv_int8,
-                         chunk_prefill=args.chunk_prefill).start()
+                         chunk_prefill=args.chunk_prefill,
+                         decode_ticks=args.decode_ticks).start()
     try:
         # the system prompt computes its KV once; every request below
         # prefills only its suffix

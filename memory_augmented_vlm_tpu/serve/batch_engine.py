@@ -165,6 +165,28 @@ def _decode_step(params, cfg: VLMConfig, logits, cache,
     return tok, new_logits, cache
 
 
+def _decode_multi_step(params, cfg: VLMConfig, logits, cache, active,
+                       temps, top_ps, rng, *, steps: int):
+    """`steps` dependent decode steps in ONE dispatch (vLLM-class
+    multi-step scheduling): through a dispatch-bound host loop (relay/RPC
+    serving, ~tens of ms per round-trip) the engine pays one dispatch +
+    one token fetch per K tokens instead of per token. Emission, eos and
+    stop-sequence handling happen host-side after the single fetch;
+    tokens decoded past a slot's close point are discarded there (same
+    semantics as the speculative path's rejected tail — the garbage K/V
+    rows beyond the emitted prefix are never read once the slot retires,
+    and a reused slot re-prefills its row from position 0). Returns
+    (tokens (B, steps), final logits, cache)."""
+    def body(carry, sub):
+        lg, c = carry
+        tok, lg, c = _decode_step(params, cfg, lg, c, active, temps,
+                                  top_ps, sub)
+        return (lg, c), tok
+    (logits, cache), toks = jax.lax.scan(
+        body, (logits, cache), jax.random.split(rng, steps))
+    return toks.T, logits, cache
+
+
 def _lookup_draft(hist: list, n: int) -> Tuple[np.ndarray, bool]:
     """n proposal tokens for the positions AFTER the next (still
     device-side) greedy token, plus a hit flag. Keys on the corpus's last
@@ -226,7 +248,7 @@ class BatchEngine:
     def __init__(self, params, cfg: VLMConfig, *, num_slots: int = 4,
                  max_len: int = 2048, pad_to_multiple: int = 128,
                  kv_int8: bool = False, chunk_prefill: int = 0,
-                 speculative: int = 0):
+                 speculative: int = 0, decode_ticks: int = 1):
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
@@ -247,6 +269,18 @@ class BatchEngine:
             functools.partial(_prefill_into_slot, max_len=max_len),
             static_argnames=("cfg",))
         self._step = jax.jit(_decode_step, static_argnames=("cfg",))
+        # decode_ticks = K > 1: multi-step scheduling — K dependent decode
+        # steps per dispatch (one host round-trip per K tokens; admissions
+        # and chunk-prefill interleaving happen between multi-ticks, so
+        # they wait at most K tokens instead of 1)
+        self.decode_ticks = int(decode_ticks)
+        if self.decode_ticks < 1:
+            raise ValueError("decode_ticks must be >= 1")
+        if self.decode_ticks > 1:
+            self._multi = jax.jit(
+                functools.partial(_decode_multi_step,
+                                  steps=self.decode_ticks),
+                static_argnames=("cfg",))
         # speculative = K > 1: greedy-only ticks verify K tokens per slot
         # per LM forward (prompt-lookup drafts from per-request histories);
         # ticks with any sampled or near-max_len slot fall back to the
@@ -524,8 +558,24 @@ class BatchEngine:
                 return
             # no lookup hit on any slot (or cooling down): plain tick
         active = jnp.asarray(actives)
-        self.stats["decode_forwards"] += 1
         self._rng, sub = jax.random.split(self._rng)
+        if self._can_multi_tick(actives, pending_req):
+            k = self.decode_ticks
+            self.stats["decode_forwards"] += k
+            toks, self._logits, self._cache = self._multi(
+                self.params, self.cfg, self._logits, self._cache,
+                active, self._temps, self._topps, sub)
+            toks = np.asarray(toks)  # (B, K) — single fetch per K tokens
+            for slot, req in enumerate(self._slots):
+                if req is None or req is pending_req:
+                    continue
+                for t in toks[slot].tolist():
+                    req.history.append(int(t))
+                    self._len[slot] += 1
+                    if self._emit_token(slot, req, int(t), self._len[slot]):
+                        break  # tokens past the close point are discarded
+            return
+        self.stats["decode_forwards"] += 1
         tok, self._logits, self._cache = self._step(
             self.params, self.cfg, self._logits, self._cache,
             active, self._temps, self._topps, sub)
@@ -537,6 +587,19 @@ class BatchEngine:
             req.history.append(t)
             self._len[slot] += 1
             self._emit_token(slot, req, t, self._len[slot])
+
+    def _can_multi_tick(self, actives, pending_req) -> bool:
+        """Multi-step ticks need K rows of cache headroom on every active
+        slot (boundary writes would drop) and must not starve an in-flight
+        chunked admission (its chunks advance once per tick)."""
+        if self.decode_ticks < 2 or pending_req is not None:
+            return False
+        for slot, req in enumerate(self._slots):
+            if not actives[slot]:
+                continue
+            if self._len[slot] + self.decode_ticks > self.max_len:
+                return False
+        return True
 
     def _can_speculate(self, actives) -> bool:
         """Speculative ticks are greedy-only and need K rows of cache

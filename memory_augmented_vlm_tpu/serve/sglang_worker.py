@@ -36,17 +36,19 @@ class SGLangWorker(ModelWorker):
 
     def __init__(self, *args, num_slots: int = 4, max_len: int = 4096,
                  kv_int8: bool = False, chunk_prefill: int = 0,
-                 speculative: int = 0, **kwargs):
+                 speculative: int = 0, decode_ticks: int = 1, **kwargs):
         super().__init__(*args, **kwargs)
         # kv_int8 halves the slot-pool cache footprint — the lever for more
         # concurrent long-video contexts per chip; chunk_prefill > 0 admits
-        # long prompts one chunk per tick so active slots keep decoding
-        # (BatchEngine docstrings)
+        # long prompts one chunk per tick so active slots keep decoding;
+        # decode_ticks=K runs K decode steps per dispatch (multi-step
+        # scheduling for dispatch-bound hosts) (BatchEngine docstrings)
         self.engine = BatchEngine(self.model.params, self.model.cfg,
                                   num_slots=num_slots, max_len=max_len,
                                   kv_int8=kv_int8,
                                   chunk_prefill=chunk_prefill,
-                                  speculative=speculative).start()
+                                  speculative=speculative,
+                                  decode_ticks=decode_ticks).start()
 
     def generate_stream(self, params: dict):
         self.queue_length += 1

