@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--chunk_prefill", type=int, default=0)
     ap.add_argument("--speculative", type=int, default=0)
     ap.add_argument("--decode_ticks", type=int, default=1)
+    ap.add_argument("--paged_page_size", type=int, default=0)
+    ap.add_argument("--paged_pages", type=int, default=None)
     args = ap.parse_args()
 
     cfg = VLMConfig.onevision_0_5b()
@@ -48,7 +50,9 @@ def main():
                          max_len=args.max_len, kv_int8=args.kv_int8,
                          chunk_prefill=args.chunk_prefill,
                          speculative=args.speculative,
-                         decode_ticks=args.decode_ticks).start()
+                         decode_ticks=args.decode_ticks,
+                         paged_page_size=args.paged_page_size,
+                         paged_pages=args.paged_pages).start()
     try:
         def submit():
             ids = rng.integers(0, 1000, size=(args.prompt_len,))
@@ -87,6 +91,8 @@ def main():
                 "chunk_prefill": args.chunk_prefill,
                 "speculative": args.speculative,
                 "decode_ticks": args.decode_ticks,
+                "paged_page_size": args.paged_page_size,
+                "paged_pages": args.paged_pages,
                 "engine_stats": dict(engine.stats),
                 "decode_tokens_timed": total,
                 "steady_s": round(dt, 3),

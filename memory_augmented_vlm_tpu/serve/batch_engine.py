@@ -21,8 +21,10 @@ top of this).
 from __future__ import annotations
 
 import functools
+import math
 import queue
 import threading
+from collections import deque
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
@@ -31,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from memory_augmented_vlm_tpu.config import VLMConfig
+from memory_augmented_vlm_tpu.models import paged as paged_kv
 from memory_augmented_vlm_tpu.models import qwen2
 from memory_augmented_vlm_tpu.utils.logging import build_logger
 
@@ -230,6 +233,11 @@ class _Request:
     emitted: int = 0
     recent: list = field(default_factory=list)  # host-side stop-seq tail
     history: list = field(default_factory=list)  # lookup corpus
+    generated: list = field(default_factory=list)  # emitted tokens — the
+                                                   # recompute-preemption
+                                                   # prompt extension
+    seq: int = -1                     # admission order (preemption picks
+                                      # the youngest victim first)
 
     def hits_stop(self, tok: int) -> bool:
         if not self.stop_sequences:
@@ -248,19 +256,87 @@ class BatchEngine:
     def __init__(self, params, cfg: VLMConfig, *, num_slots: int = 4,
                  max_len: int = 2048, pad_to_multiple: int = 128,
                  kv_int8: bool = False, chunk_prefill: int = 0,
-                 speculative: int = 0, decode_ticks: int = 1):
+                 speculative: int = 0, decode_ticks: int = 1,
+                 paged_page_size: int = 0,
+                 paged_pages: Optional[int] = None):
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
         self.max_len = max_len
         self.pad = pad_to_multiple
         self._dtype = jnp.bfloat16 if cfg.lm.dtype == "bfloat16" else jnp.float32
-        # kv_int8 halves the slot-pool cache footprint + decode-read HBM
-        # traffic (per-row symmetric int8, qwen2.quantize_kv_rows) — the
-        # lever for more slots / longer contexts per chip
-        cache_dtype = jnp.int8 if kv_int8 else self._dtype
-        self._cache = qwen2.KVCache.zeros(cfg.lm, num_slots, max_len,
-                                          cache_dtype)
+        # paged_page_size = ps > 0: the KV cache becomes a PAGED pool
+        # (models/paged.py) — `paged_pages` physical pages of ps positions
+        # each, shared across slots via block tables. Sizing the pool below
+        # num_slots * max_len/ps OVERSUBSCRIBES it: admission blocks until
+        # pages free, and a decode-time allocation failure preempts the
+        # youngest slot (recompute-style: its prompt + generated tokens
+        # re-prefill later — greedy outputs are unchanged; sampled requests
+        # resample their remaining tokens). Shared prefixes (set_prefix)
+        # install page-aligned rows ONCE and per-request tables alias them;
+        # a partial trailing prefix page is copied per request (COW).
+        self.paged = int(paged_page_size)
+        if self.paged:
+            if kv_int8:
+                raise ValueError("paged + kv_int8 not supported yet")
+            if speculative:
+                raise ValueError("paged + speculative not supported yet")
+            if max_len % self.paged:
+                raise ValueError("max_len must be a multiple of the page size")
+            self.max_pages = max_len // self.paged
+            npages = (num_slots * self.max_pages if paged_pages is None
+                      else int(paged_pages))
+            if npages < self.max_pages:
+                raise ValueError(
+                    "page pool smaller than one slot's worst case "
+                    f"({npages} < {self.max_pages}) — a lone request could "
+                    "exhaust it with nothing left to preempt")
+            self.num_pages = npages
+            self._free: List[int] = list(range(npages))
+            self._slot_pages: List[List[int]] = [[] for _ in range(num_slots)]
+            # table entries installed per slot (shared prefix + private) —
+            # position coverage is _slot_npages[s] * page_size
+            self._slot_npages: List[int] = [0] * num_slots
+            self._admit_seq = 0
+            self._requeue: "deque[_Request]" = deque()
+            self._prefix_req: Optional[list] = None  # [rows, Event, err]
+            self._perm_pages = 0   # pages held forever by shared prefixes
+            # (prefix_len, shared page ids, device rows for re-install on
+            # failure reset: (L, full*ps, Hkv, D), partial (L, r, Hkv, D))
+            self._prefix_pg: Optional[Tuple] = None
+            self._cache = paged_kv.PagedKVCache.zeros(
+                cfg.lm, num_slots, max_len, page_size=self.paged,
+                num_pages=npages, dtype=self._dtype)
+            # pool buffers are donated: every jit below consumes its cache
+            # argument in place (the pool can dwarf a contiguous per-slot
+            # cache's working set — a copy per tick would defeat paging)
+            self._prefill_pg = jax.jit(
+                functools.partial(paged_kv.prefill_into_pages,
+                                  rope_seq_len=max_len),
+                static_argnames=("cfg",), donate_argnums=(6,))
+            self._chunk_pg = jax.jit(
+                functools.partial(paged_kv.chunk_into_pages,
+                                  rope_seq_len=max_len),
+                static_argnames=("cfg",), donate_argnums=(6,))
+            self._step_pg = jax.jit(
+                functools.partial(paged_kv.decode_step_paged,
+                                  rope_seq_len=max_len),
+                static_argnames=("cfg",), donate_argnums=(3,))
+            if decode_ticks > 1:
+                self._multi_pg = jax.jit(
+                    functools.partial(paged_kv.decode_multi_step_paged,
+                                      steps=int(decode_ticks),
+                                      rope_seq_len=max_len),
+                    static_argnames=("cfg",), donate_argnums=(3,))
+            self._cow = jax.jit(paged_kv.write_partial_page,
+                                donate_argnums=(3,))
+        else:
+            # kv_int8 halves the slot-pool cache footprint + decode-read HBM
+            # traffic (per-row symmetric int8, qwen2.quantize_kv_rows) — the
+            # lever for more slots / longer contexts per chip
+            cache_dtype = jnp.int8 if kv_int8 else self._dtype
+            self._cache = qwen2.KVCache.zeros(cfg.lm, num_slots, max_len,
+                                              cache_dtype)
         self._logits = jnp.zeros((num_slots, cfg.lm.vocab_size), jnp.float32)
         self._temps = jnp.zeros((num_slots,), jnp.float32)
         self._topps = jnp.ones((num_slots,), jnp.float32)
@@ -320,7 +396,8 @@ class BatchEngine:
         self._len: List[int] = [0] * num_slots
         # forward/token counters (speculation telemetry; read-only for
         # callers — tokens/decode_forwards = mean accepted run length)
-        self.stats = {"decode_forwards": 0, "spec_forwards": 0, "tokens": 0}
+        self.stats = {"decode_forwards": 0, "spec_forwards": 0, "tokens": 0,
+                      "preemptions": 0}
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
@@ -348,6 +425,21 @@ class BatchEngine:
         _, pre = qwen2.forward(
             self.params["language_model"], self.cfg.lm, emb,
             jnp.arange(p)[None], cache_max_len=self.max_len)
+        if self.paged:
+            # install into shared pool pages — but the ENGINE thread owns
+            # the (donated) pool buffers, so hand the rows over and wait:
+            # a caller-thread pool write could race a tick's donation
+            rows = (p, pre.k[:, 0, :p], pre.v[:, 0, :p])
+            if self._thread is None or not self._thread.is_alive():
+                self._apply_prefix_pg(rows)
+            else:
+                handoff = [rows, threading.Event(), None]
+                self._prefix_req = handoff
+                if not handoff[1].wait(timeout=300):
+                    raise TimeoutError("engine thread did not install prefix")
+                if handoff[2] is not None:
+                    raise handoff[2]
+            return
         # slice to the P prefix rows — forward pads its cache buffer to
         # max_len, and storing that would pin a full slot's worth of HBM
         k, v = pre.k[:, :, :p], pre.v[:, :, :p]   # (L, 1, P, Hkv, Dh)
@@ -362,6 +454,132 @@ class BatchEngine:
                         jax.device_put(v.astype(self._cache.v.dtype)),
                         None if ks is None else jax.device_put(ks),
                         None if vs is None else jax.device_put(vs))
+
+    # -- paged-pool management (host-side policy; models/paged.py is the
+    # -- device side) ---------------------------------------------------------
+    def _alloc(self, n: int) -> Optional[List[int]]:
+        """Pop n pages off the free list; None (nothing taken) if short."""
+        if n <= 0:
+            return []
+        if len(self._free) < n:
+            return None
+        return [self._free.pop() for _ in range(n)]
+
+    def _apply_prefix_pg(self, rows):
+        """Engine-thread install of a shared prefix into pool pages.
+        Page-aligned rows go into permanently-held shared pages (aliased by
+        every use_prefix table row — never freed, including on
+        re-registration: an older request may still be reading them); the
+        partial trailing page's rows are kept device-side and copied into a
+        fresh page per request (COW)."""
+        p, k_rows, v_rows = rows
+        ps = self.paged
+        full, r = divmod(p, ps)
+        if self.num_pages - (self._perm_pages + full) < self.max_pages:
+            # a lone NON-prefix request must still be able to reach max_len
+            # with prefixes permanently holding their pages (re-registered
+            # prefixes keep their old pages too — live tables may alias them)
+            raise ValueError(
+                "prefix would leave the pool unable to serve one worst-case "
+                "request — raise paged_pages to >= max_pages + prefix pages")
+        pages = self._alloc(full)
+        if pages is None:
+            raise ValueError("page pool too small for the prefix")
+        self._perm_pages += full
+        k_full = k_rows[:, :full * ps].astype(self._cache.k.dtype)
+        v_full = v_rows[:, :full * ps].astype(self._cache.v.dtype)
+        k_part = v_part = None
+        if full:
+            self._cache = paged_kv.write_prefix_pages(
+                k_full, v_full, jnp.asarray(pages, jnp.int32), self._cache)
+        if r:
+            k_part = jax.device_put(k_rows[:, full * ps:]
+                                    .astype(self._cache.k.dtype))
+            v_part = jax.device_put(v_rows[:, full * ps:]
+                                    .astype(self._cache.v.dtype))
+        # k_full/v_full stay referenced for the failure-reset re-install
+        self._prefix_pg = (p, pages, k_full if full else None,
+                           v_full if full else None, k_part, v_part)
+
+    def _release_pages(self, slot: int):
+        self._free.extend(self._slot_pages[slot])
+        self._slot_pages[slot] = []
+        self._slot_npages[slot] = 0
+
+    def _preempt_one(self) -> Optional[int]:
+        """Free pages by evicting work, youngest admission first (vLLM's
+        recompute preemption): the victim's prompt grows by its generated
+        tokens and goes to the FRONT of the queue — greedy outputs are
+        bit-identical to an uninterrupted run (the re-prefill's last-row
+        logits equal the logits the evicted decode would have produced);
+        sampled requests resample their remaining tokens. Falls back to
+        aborting the in-flight chunked admission when it is the only page
+        holder. Returns the freed slot, or None if nothing holds pages."""
+        victim = None
+        for s, r in enumerate(self._slots):
+            if r is None or (self._pending and r is self._pending[0]):
+                continue
+            if victim is None or r.seq > self._slots[victim].seq:
+                victim = s
+        if victim is None and self._pending is not None:
+            req, slot, _off, _base = self._pending
+            self._pending = None
+            self._requeue.appendleft(req)
+            self._slots[slot] = None
+            req.slot = -1
+            self._release_pages(slot)
+            self.stats["preemptions"] += 1
+            return slot
+        if victim is None:
+            return None
+        req = self._slots[victim]
+        if req.generated:
+            lm = self.params["language_model"]
+            gen = qwen2.embed_tokens(
+                lm, jnp.asarray(req.generated, jnp.int32), self.cfg.lm)
+            req.embeds = np.concatenate(
+                [req.embeds, np.asarray(gen, req.embeds.dtype)])
+            req.generated = []
+        self._slots[victim] = None
+        req.slot = -1
+        self._requeue.appendleft(req)
+        self._release_pages(victim)
+        self.stats["preemptions"] += 1
+        return victim
+
+    def _install_pages(self, slot: int, pages: List[int]):
+        """Append freshly allocated pages to a slot's table row."""
+        tbl = self._cache.table
+        base = self._slot_npages[slot]
+        tbl = tbl.at[slot, base:base + len(pages)].set(
+            jnp.asarray(pages, jnp.int32))
+        self._cache = self._cache._replace(table=tbl)
+        self._slot_pages[slot].extend(pages)
+        self._slot_npages[slot] += len(pages)
+
+    def _ensure_headroom_pg(self, k: int) -> None:
+        """Guarantee every active slot's table covers its next k decode
+        positions, preempting (youngest first — possibly the very slot
+        being grown, which then simply goes back to the queue) when the
+        free list runs dry."""
+        for slot in range(self.num_slots):
+            req = self._slots[slot]
+            if req is None or (self._pending and req is self._pending[0]):
+                continue
+            while self._slots[slot] is req and req.slot == slot:
+                need = min(-(-(self._len[slot] + k) // self.paged),
+                           self.max_pages)
+                short = need - self._slot_npages[slot]
+                if short <= 0:
+                    break
+                pages = self._alloc(short)
+                if pages is not None:
+                    self._install_pages(slot, pages)
+                    break
+                if self._preempt_one() is None:
+                    # unreachable given the pool-size invariant; fail loud
+                    raise RuntimeError("page pool exhausted with nothing "
+                                       "left to preempt")
 
     def submit(self, embeds: np.ndarray, *, max_new_tokens: int = 128,
                eos_token_ids: Tuple[int, ...] = (151645,),
@@ -400,16 +618,108 @@ class BatchEngine:
                 else np.zeros((0,), np.int32))
 
     # -- engine loop ----------------------------------------------------------
+    def _admit_paged(self, req: _Request, slot: int) -> str:
+        """Admission against the page pool. Allocates ALL of the prompt's
+        pages up front (an in-flight chunked admission then never needs a
+        mid-flight allocation); decode-time growth happens page-by-page in
+        _ensure_headroom_pg. Returns "done" (slot active), "pending"
+        (chunked/suffix prefill claimed the slot), "stall" (free list too
+        short — retry after completions), or "rejected"."""
+        prefix = self._prefix_pg if req.use_prefix else None
+        base = prefix[0] if (req.use_prefix and prefix) else 0
+        s = base + req.embeds.shape[0]
+        if (req.embeds.ndim != 2 or req.embeds.shape[0] == 0
+                or s >= self.max_len
+                or (req.use_prefix and prefix is None)):
+            req.out.put(None)
+            return "rejected"
+        if req.seq < 0:
+            req.seq = self._admit_seq
+            self._admit_seq += 1
+        ps = self.paged
+        total_pages = -(-s // ps)
+        if req.use_prefix:
+            full = prefix[0] // ps
+            pages = self._alloc(total_pages - full)
+            if pages is None:
+                return "stall"
+            row = np.full((self.max_pages,), self.num_pages, np.int32)
+            row[:full] = prefix[1]
+            row[full:total_pages] = pages
+            self._cache = self._cache._replace(
+                table=self._cache.table.at[slot].set(jnp.asarray(row)))
+            self._slot_pages[slot] = pages
+            self._slot_npages[slot] = total_pages
+            if prefix[0] % ps:
+                # COW: the partial trailing prefix page copies into this
+                # request's first private page; its suffix rows fill the
+                # remainder of that page
+                self._cache = self._cow(prefix[4], prefix[5], pages[0],
+                                        self._cache)
+            req.slot = slot
+            self._slots[slot] = req
+            self._pending = (req, slot, base, base)
+            return "pending"
+        pages = self._alloc(total_pages)
+        if pages is None:
+            return "stall"
+        if self.chunk_prefill and s > self.chunk_prefill:
+            row = np.full((self.max_pages,), self.num_pages, np.int32)
+            row[:total_pages] = pages
+            self._cache = self._cache._replace(
+                table=self._cache.table.at[slot].set(jnp.asarray(row)))
+            self._slot_pages[slot] = pages
+            self._slot_npages[slot] = total_pages
+            req.slot = slot
+            self._slots[slot] = req
+            self._pending = (req, slot, 0, 0)
+            return "pending"
+        # one-shot: pad the prompt to a (bucket, page) multiple; pad pages
+        # beyond the prompt's point at the trash page
+        unit = math.lcm(self.pad, ps)
+        sp = min(-(-s // unit) * unit, self.max_len)
+        pages_arr = np.full((sp // ps,), self.num_pages, np.int32)
+        pages_arr[:total_pages] = pages
+        # claim the slot BEFORE the device call: if the dispatch throws, the
+        # _loop reset fails this caller instead of stranding it
+        self._slot_pages[slot] = pages
+        self._slot_npages[slot] = total_pages
+        req.slot = slot
+        self._slots[slot] = req
+        emb = jnp.pad(jnp.asarray(req.embeds, self._dtype),
+                      ((0, sp - s), (0, 0)))[None]
+        logits_row, self._cache = self._prefill_pg(
+            self.params, self.cfg, emb, jnp.asarray([s], jnp.int32),
+            jnp.asarray(pages_arr), slot, self._cache)
+        self._logits = self._logits.at[slot].set(logits_row)
+        self._temps = self._temps.at[slot].set(req.temperature)
+        self._topps = self._topps.at[slot].set(req.top_p)
+        self._len[slot] = s
+        return "done"
+
     def _admit(self):
         if self._pending is not None:
             return  # finish the in-flight chunked admission first
         for slot in range(self.num_slots):
             if self._slots[slot] is not None:
                 continue
-            try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
-                return
+            if self.paged and self._requeue:
+                req = self._requeue.popleft()   # preempted work goes first
+            else:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    return
+            if self.paged:
+                state = self._admit_paged(req, slot)
+                if state == "stall":
+                    # not enough free pages: keep FIFO order and retry next
+                    # tick (completions / preemptions free pages)
+                    self._requeue.appendleft(req)
+                    return
+                if state == "pending":
+                    return
+                continue   # "done" or "rejected": try the next free slot
             try:
                 # snapshot the (len, rows) pair once — set_prefix may swap
                 # it from the caller thread concurrently
@@ -486,6 +796,30 @@ class BatchEngine:
                     if req is not None:
                         req.out.put(None)
                         self._slots[slot] = None
+                if self.paged:
+                    self._reset_paged()
+
+    def _reset_paged(self):
+        """Rebuild the page pool after an engine-loop failure: the failing
+        dispatch may have consumed the donated pool buffers, so nothing
+        device-side is trustworthy. Shared prefix rows re-install from
+        their kept device copies into their original page ids."""
+        for r in self._requeue:
+            r.out.put(None)
+        self._requeue.clear()
+        self._slot_pages = [[] for _ in range(self.num_slots)]
+        self._slot_npages = [0] * self.num_slots
+        held = set(self._prefix_pg[1]) if self._prefix_pg else set()
+        self._free = [p for p in range(self.num_pages) if p not in held]
+        self._perm_pages = len(held)  # leaked re-registrations reclaim here
+        self._cache = paged_kv.PagedKVCache.zeros(
+            self.cfg.lm, self.num_slots, self.max_len,
+            page_size=self.paged, num_pages=self.num_pages,
+            dtype=self._dtype)
+        if self._prefix_pg and self._prefix_pg[2] is not None:
+            _p, pages, k_full, v_full, _kp, _vp = self._prefix_pg
+            self._cache = paged_kv.write_prefix_pages(
+                k_full, v_full, jnp.asarray(pages, jnp.int32), self._cache)
 
     def _advance_chunk(self):
         """Advance an in-flight chunked admission by ONE chunk. The slot's
@@ -509,13 +843,16 @@ class BatchEngine:
             cv = chunk.shape[0]
             emb = jnp.pad(jnp.asarray(chunk, self._dtype),
                           ((0, c - cv), (0, 0)))[None]
-            logits_row, self._cache = self._chunk(
+            logits_row, self._cache = (
+                self._chunk_pg if self.paged else self._chunk)(
                 self.params, self.cfg, emb, off, cv, slot, self._cache)
         except Exception:  # noqa: BLE001 — release THIS caller, keep serving
             logger.exception("batch-engine chunk prefill failed; dropped")
             req.out.put(None)
             self._slots[slot] = None
             self._pending = None
+            if self.paged:
+                self._release_pages(slot)
             return
         if off + cv >= s:
             # final chunk: activate the slot
@@ -534,14 +871,31 @@ class BatchEngine:
         done = t in req.eos_ids or req.hits_stop(t)
         req.out.put(np.asarray([t], np.int32))
         req.emitted += 1
+        req.generated.append(t)
         self.stats["tokens"] += 1
         if done or req.emitted >= req.max_new_tokens or length >= self.max_len:
             req.out.put(None)
             self._slots[slot] = None
+            if self.paged:
+                # retired slot's table row still points at the freed pages,
+                # but it is inactive from here (writes route to trash,
+                # logits row unused) until a prefill reinstalls the row
+                self._release_pages(slot)
             return True
         return False
 
     def _tick(self):
+        if self.paged and self._prefix_req is not None:
+            # engine-thread prefix install (the pool is donated each tick;
+            # a caller-thread write would race the donation)
+            handoff = self._prefix_req
+            self._prefix_req = None
+            try:
+                self._apply_prefix_pg(handoff[0])
+            except Exception as e:  # noqa: BLE001 — surface to set_prefix
+                handoff[2] = e
+            finally:
+                handoff[1].set()
         self._admit()
         self._advance_chunk()
         pending_req = self._pending[0] if self._pending else None
@@ -557,12 +911,25 @@ class BatchEngine:
             elif self._spec_tick(actives):
                 return
             # no lookup hit on any slot (or cooling down): plain tick
+        want_multi = self._can_multi_tick(actives, pending_req)
+        if self.paged:
+            # grow tables before dispatch; preemption may shrink the active
+            # set (never grow it), so re-derive it
+            self._ensure_headroom_pg(self.decode_ticks if want_multi else 1)
+            pending_req = self._pending[0] if self._pending else None
+            actives = [r is not None and r is not pending_req
+                       for r in self._slots]
+            if not any(actives):
+                return
+            want_multi = want_multi and self._can_multi_tick(
+                actives, pending_req)
         active = jnp.asarray(actives)
         self._rng, sub = jax.random.split(self._rng)
-        if self._can_multi_tick(actives, pending_req):
+        if want_multi:
             k = self.decode_ticks
             self.stats["decode_forwards"] += k
-            toks, self._logits, self._cache = self._multi(
+            toks, self._logits, self._cache = (
+                self._multi_pg if self.paged else self._multi)(
                 self.params, self.cfg, self._logits, self._cache,
                 active, self._temps, self._topps, sub)
             toks = np.asarray(toks)  # (B, K) — single fetch per K tokens
@@ -576,7 +943,8 @@ class BatchEngine:
                         break  # tokens past the close point are discarded
             return
         self.stats["decode_forwards"] += 1
-        tok, self._logits, self._cache = self._step(
+        tok, self._logits, self._cache = (
+            self._step_pg if self.paged else self._step)(
             self.params, self.cfg, self._logits, self._cache,
             active, self._temps, self._topps, sub)
         toks = np.asarray(tok)

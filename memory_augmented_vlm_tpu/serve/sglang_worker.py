@@ -36,19 +36,25 @@ class SGLangWorker(ModelWorker):
 
     def __init__(self, *args, num_slots: int = 4, max_len: int = 4096,
                  kv_int8: bool = False, chunk_prefill: int = 0,
-                 speculative: int = 0, decode_ticks: int = 1, **kwargs):
+                 speculative: int = 0, decode_ticks: int = 1,
+                 paged_page_size: int = 0, paged_pages: int = None,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         # kv_int8 halves the slot-pool cache footprint — the lever for more
         # concurrent long-video contexts per chip; chunk_prefill > 0 admits
         # long prompts one chunk per tick so active slots keep decoding;
         # decode_ticks=K runs K decode steps per dispatch (multi-step
-        # scheduling for dispatch-bound hosts) (BatchEngine docstrings)
+        # scheduling for dispatch-bound hosts); paged_page_size/paged_pages
+        # back the cache with a paged pool (block tables, oversubscription,
+        # preemption, shared-prefix pages) (BatchEngine docstrings)
         self.engine = BatchEngine(self.model.params, self.model.cfg,
                                   num_slots=num_slots, max_len=max_len,
                                   kv_int8=kv_int8,
                                   chunk_prefill=chunk_prefill,
                                   speculative=speculative,
-                                  decode_ticks=decode_ticks).start()
+                                  decode_ticks=decode_ticks,
+                                  paged_page_size=paged_page_size,
+                                  paged_pages=paged_pages).start()
 
     def generate_stream(self, params: dict):
         self.queue_length += 1

@@ -492,3 +492,179 @@ def test_engine_speculation_cooldown_on_rejection(tiny):
             assert st["spec_forwards"] * 2 <= st["decode_forwards"], st
     finally:
         engine.shutdown()
+
+
+# -- paged KV cache (block tables, oversubscription, preemption) --------------
+
+
+def test_paged_greedy_matches_single(tiny):
+    """Paged pool (block tables): greedy outputs bit-equal to the
+    single-request path across staggered concurrent slots and slot
+    recycling; every page returns to the free list at the end."""
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=2, max_len=256,
+                         paged_page_size=64).start()
+    try:
+        rng = np.random.default_rng(21)
+        prompts = [rng.integers(0, 1000, size=(n,)) for n in (5, 3, 6)]
+        want = [_reference(params, cfg, p, 8) for p in prompts]
+        results = [None] * len(prompts)
+
+        def run(i):
+            results[i] = engine.generate(_embeds(params, prompts[i]),
+                                         max_new_tokens=8,
+                                         eos_token_ids=(49999,))
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(prompts))]
+        for i, t in enumerate(threads):
+            t.start()
+            if i == 0:
+                time.sleep(0.05)
+        for t in threads:
+            t.join(timeout=180)
+        for i, (got, exp) in enumerate(zip(results, want)):
+            assert got is not None, f"request {i} timed out"
+            np.testing.assert_array_equal(got, exp, err_msg=f"request {i}")
+        assert len(engine._free) == engine.num_pages
+    finally:
+        engine.shutdown()
+
+
+def test_paged_oversubscribed_pool_preempts_exact(tiny):
+    """A pool smaller than the slots' combined worst case must preempt
+    (recompute-style) under concurrent growth — and greedy outputs must
+    still be bit-identical to uninterrupted runs."""
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=2, max_len=256,
+                         paged_page_size=16, paged_pages=18).start()
+    try:
+        rng = np.random.default_rng(22)
+        prompts = [rng.integers(0, 1000, size=(n,)) for n in (5, 3, 6)]
+        # 2 slots x ceil(155/16)=10 pages = 20 > 18: preemption guaranteed
+        want = [_reference(params, cfg, p, 150) for p in prompts]
+        results = [None] * len(prompts)
+
+        def run(i):
+            results[i] = engine.generate(_embeds(params, prompts[i]),
+                                         max_new_tokens=150,
+                                         eos_token_ids=(49999,))
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(prompts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i, (got, exp) in enumerate(zip(results, want)):
+            assert got is not None, f"request {i} timed out"
+            np.testing.assert_array_equal(got, exp, err_msg=f"request {i}")
+        assert engine.stats["preemptions"] >= 1
+        assert len(engine._free) == engine.num_pages
+    finally:
+        engine.shutdown()
+
+
+def test_paged_chunked_prefill_matches_reference(tiny):
+    """chunk_prefill composed with the paged pool: chunk K/V rows scatter
+    to block-table positions (mid-page offsets included) and reproduce the
+    one-shot greedy tokens."""
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=2, max_len=256,
+                         chunk_prefill=8, paged_page_size=32).start()
+    try:
+        rng = np.random.default_rng(23)
+        prompts = [rng.integers(0, 1000, size=(n,)) for n in (20, 25, 5)]
+        want = [_reference(params, cfg, p, 8) for p in prompts]
+        results = [None] * len(prompts)
+
+        def run(i):
+            results[i] = engine.generate(_embeds(params, prompts[i]),
+                                         max_new_tokens=8,
+                                         eos_token_ids=(49999,))
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(prompts))]
+        for i, t in enumerate(threads):
+            t.start()
+            time.sleep(0.05)
+        for t in threads:
+            t.join(timeout=180)
+        for i, (got, exp) in enumerate(zip(results, want)):
+            assert got is not None, f"request {i} timed out"
+            np.testing.assert_array_equal(got, exp, err_msg=f"request {i}")
+        assert len(engine._free) == engine.num_pages
+    finally:
+        engine.shutdown()
+
+
+@pytest.mark.parametrize("plen", [16, 11], ids=["page-aligned", "cow"])
+def test_paged_prefix_sharing(tiny, plen):
+    """set_prefix over the paged pool: full prefix pages are SHARED
+    (every use_prefix table row aliases them — they stay allocated);
+    a partial trailing page copies per request (COW) so suffix rows
+    never write into shared memory. Outputs match the full prompt."""
+    cfg, params = tiny
+    rng = np.random.default_rng(24)
+    prefix = rng.integers(0, 1000, size=(plen,))
+    engine = BatchEngine(params, cfg, num_slots=2, max_len=256,
+                         paged_page_size=8, paged_pages=40).start()
+    try:
+        engine.set_prefix(_embeds(params, prefix))
+        shared = plen // 8
+        assert len(engine._free) == 40 - shared
+        suffixes = [rng.integers(0, 1000, size=(n,)) for n in (7, 18)]
+        for suf in suffixes:
+            full = np.concatenate([prefix, suf])
+            want = _reference(params, cfg, full, 6)
+            got = engine.generate(_embeds(params, suf), max_new_tokens=6,
+                                  eos_token_ids=(49999,), use_prefix=True)
+            np.testing.assert_array_equal(got, want)
+        # shared pages stay held; every private page came back
+        assert len(engine._free) == 40 - shared
+        # non-prefix requests still run beside prefix ones
+        plain = rng.integers(0, 1000, size=(5,))
+        np.testing.assert_array_equal(
+            engine.generate(_embeds(params, plain), max_new_tokens=6,
+                            eos_token_ids=(49999,)),
+            _reference(params, cfg, plain, 6))
+    finally:
+        engine.shutdown()
+
+
+def test_paged_multi_tick_and_sampling(tiny):
+    """decode_ticks=4 over the paged pool (in-graph page-boundary
+    crossings find their pre-installed table entries) and the nucleus
+    sampler's top_p ~ 0 argmax restriction."""
+    cfg, params = tiny
+    engine = BatchEngine(params, cfg, num_slots=2, max_len=256,
+                         paged_page_size=16, decode_ticks=4).start()
+    try:
+        rng = np.random.default_rng(25)
+        ids = rng.integers(0, 1000, size=(5,))
+        # 21 new tokens: crosses a 16-row page boundary mid-run, and is
+        # not a multiple of K=4 (trailing in-graph tokens discarded)
+        want = _reference(params, cfg, ids, 21)
+        got = engine.generate(_embeds(params, ids), max_new_tokens=21,
+                              eos_token_ids=(49999,))
+        np.testing.assert_array_equal(got, want)
+        sampled = engine.generate(_embeds(params, ids), max_new_tokens=6,
+                                  eos_token_ids=(49999,), temperature=0.8,
+                                  top_p=1e-6)
+        np.testing.assert_array_equal(sampled, want[:6])
+        assert len(engine._free) == engine.num_pages
+    finally:
+        engine.shutdown()
+
+
+def test_paged_config_validation(tiny):
+    cfg, params = tiny
+    with pytest.raises(ValueError, match="kv_int8"):
+        BatchEngine(params, cfg, paged_page_size=16, kv_int8=True)
+    with pytest.raises(ValueError, match="speculative"):
+        BatchEngine(params, cfg, paged_page_size=16, speculative=4)
+    with pytest.raises(ValueError, match="multiple"):
+        BatchEngine(params, cfg, max_len=100, paged_page_size=16)
+    with pytest.raises(ValueError, match="worst case"):
+        BatchEngine(params, cfg, max_len=256, paged_page_size=16,
+                    paged_pages=8)
