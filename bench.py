@@ -68,7 +68,7 @@ def baseline_visual_tokens_per_s(num_frames: int, model: str = "0.5b",
 
 
 def build_pipeline(cfg: VLMConfig, num_frames: int = NUM_FRAMES,
-                   no_memory: bool = False):
+                   no_memory: bool = False, kv_int8: bool = False):
     # frames pad to the 32-frame segment multiple with a validity mask, the
     # same contract as vlm.video_qa_embeds (16-frame short clips run one
     # partially-valid segment)
@@ -107,6 +107,10 @@ def build_pipeline(cfg: VLMConfig, num_frames: int = NUM_FRAMES,
         )
         last = jnp.take_along_axis(hidden, (valid - 1)[:, None, None], axis=1)
         logits = qwen2.unembed(params["language_model"], cfg.lm, last)[:, 0]
+        if kv_int8:
+            # serving config: int8 KV halves the per-step cache read (the
+            # 9.7k-token context cache rivals the weight stream at 0.5B)
+            cache = qwen2.quantize_cache(cache)
 
         def body(carry, _):
             logits, cache = carry
@@ -186,6 +190,12 @@ def main():
     ap.add_argument("--no_memory", action="store_true",
                     help="BASELINE.json config 2: baseline frame pooling, "
                     "no memory module (plain pooled frames + image_newline)")
+    ap.add_argument("--int8_unembed", action="store_true",
+                    help="with --lm_int8: int8 logits matmul too (the "
+                    "272 MB/step unembed read is the biggest decode stream)")
+    ap.add_argument("--kv_int8", action="store_true",
+                    help="int8 KV cache for the decode loop (serving "
+                    "config; halves the 9.7k-ctx cache read per step)")
     args, _ = ap.parse_known_args()
     nframes = args.frames
 
@@ -223,11 +233,12 @@ def main():
         metric_name = f"visual_tokens_per_s_{nframes}frame_clip_to_answer_0.5b"
         if args.lm_int8:
             params["language_model"] = qwen2.prequantize_int8(
-                params["language_model"])
+                params["language_model"], include_unembed=args.int8_unembed)
             metric_name += "_lm_int8"
         if args.no_memory:
             metric_name += "_no_memory"
-        pipeline, nseg = build_pipeline(cfg, nframes, no_memory=args.no_memory)
+        pipeline, nseg = build_pipeline(cfg, nframes, no_memory=args.no_memory,
+                                        kv_int8=args.kv_int8)
         baseline = baseline_visual_tokens_per_s(nframes, "0.5b",
                                                 no_memory=args.no_memory)
 

@@ -73,6 +73,19 @@ def quantize_kv_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def quantize_cache(cache: KVCache) -> KVCache:
+    """Convert a bf16 prefill cache to the int8 `kv_int8` form (per-row
+    symmetric int8 + fp32 scales) so decode streams half the cache bytes —
+    at a 9.7k-token video context the bf16 cache read (~238 MB/step at 0.5B)
+    rivals the weight stream. `decode_step` handles the int8 cache natively
+    (dequant fuses into the attention einsums)."""
+    if cache.k.dtype == jnp.int8:
+        return cache
+    kq, ks = quantize_kv_rows(cache.k)
+    vq, vs = quantize_kv_rows(cache.v)
+    return KVCache(k=kq, v=vq, length=cache.length, k_scale=ks, v_scale=vs)
+
+
 def _maybe_bias(kernel, bias_shape, cfg, dtype):
     out = {"kernel": kernel}
     if cfg.attention_bias:
@@ -141,7 +154,22 @@ def unembed(params, cfg: LMConfig, hidden: jax.Array) -> jax.Array:
 
     The tied path contracts directly against the (V, H) embedding table —
     never materialize `embed_tokens.T` (a 260 MB transpose per decode step
-    at 0.5B scale; measured 28.7 ms/step before this fix)."""
+    at 0.5B scale; measured 28.7 ms/step before this fix).
+
+    When `prequantize_int8(..., include_unembed=True)` installed an int8
+    copy of the unembedding (`unembed_int8` (V, H) + per-vocab-row
+    `unembed_scale`), the logits matmul runs activation-row-quant int8 x
+    int8 -> int32 on the int8 MXU and streams half the bytes — the single
+    largest HBM read of a decode step (272 MB bf16 at 0.5B scale)."""
+    if "unembed_int8" in params:
+        from memory_augmented_vlm_tpu.ops.pallas_int8 import quantize_rows
+
+        xq, sx = quantize_rows(hidden)
+        acc = jax.lax.dot_general(
+            xq, params["unembed_int8"], (((xq.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * sx * params["unembed_scale"]
     if cfg.tie_word_embeddings:
         return jnp.einsum("...h,vh->...v", hidden, params["embed_tokens"],
                           preferred_element_type=jnp.float32)
@@ -172,12 +200,21 @@ def _proj(p, x):
 
 
 def prequantize_int8(params, cfg: Optional[LMConfig] = None, *,
-                     bits: int = 8):
+                     bits: int = 8, include_unembed: bool = False):
     """Static-scale int8/int4 LM weights (the load_8bit / load_4bit LM half;
     bitsandbytes equivalents). Quantizes the stacked per-layer dense
-    kernels; embeddings / unembedding / norms stay high-precision (the
-    logits matmul is the quality-sensitive tail). MoE experts stay dense.
-    bits=4 packs two nibbles per byte — parameter HBM halves again."""
+    kernels; embeddings / norms stay high-precision (the logits matmul is
+    the quality-sensitive tail). MoE experts stay dense. bits=4 packs two
+    nibbles per byte — parameter HBM halves again.
+
+    include_unembed=True additionally installs a per-vocab-row int8 copy of
+    the unembedding (`unembed_int8` (V, H) + `unembed_scale` (V,) fp32) that
+    `unembed` prefers — the 272 MB/step bf16 logits-weight read is the
+    single biggest decode HBM stream at 0.5B scale. Tied models keep the
+    bf16 `embed_tokens` for token lookups (the int8 copy adds V*H bytes);
+    untied models drop the dense `lm_head` (the int8 copy replaces it).
+    Numerics qualification: tests/test_quant.py greedy-agreement +
+    logit-drift corpus test; PERFORMANCE.md round 4."""
     from memory_augmented_vlm_tpu.ops.quant import (
         prequantize_kernel,
         prequantize_kernel_int4,
@@ -200,6 +237,20 @@ def prequantize_int8(params, cfg: Optional[LMConfig] = None, *,
         new_layers[name] = entry
     out = dict(params)
     out["layers"] = new_layers
+    if include_unembed:
+        import jax.numpy as jnp
+
+        # per-vocab-row symmetric int8 over the hidden axis of the (V, H)
+        # unembedding table: output-channel scales keep each vocab row's
+        # logit scale exact, so quantization error is purely in-row
+        table = (params["embed_tokens"] if "lm_head" not in params
+                 else params["lm_head"].T)
+        tf = table.astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(tf), axis=1), 1e-12) / 127.0
+        out["unembed_int8"] = jnp.clip(
+            jnp.round(tf / scale[:, None]), -127, 127).astype(jnp.int8)
+        out["unembed_scale"] = scale
+        out.pop("lm_head", None)
     return out
 
 

@@ -120,6 +120,13 @@ class BestOfNSampler:
         results: List[List[str]] = []
         for query in self._as_query_batch(tokenized_query):
             max_new = int(self.length_sampler())
+            # round the jitted decode length up to a 32-token bucket: every
+            # distinct max_new_tokens is a fresh generate compile (~1-2 min
+            # through the remote-compile relay), so a wide LengthSampler
+            # range would otherwise recompile per query; counts trim back to
+            # the sampled length host-side below (rows decode independently,
+            # so the first max_new tokens are identical either way)
+            max_new_jit = max(32, ((max_new + 31) // 32) * 32)
             ids = jnp.asarray(query, jnp.int32)
             embeds = qwen2.embed_tokens(self.params["language_model"], ids,
                                         self.cfg.lm)
@@ -131,11 +138,11 @@ class BestOfNSampler:
             out = vlm.generate_batched(
                 self.params, self.cfg, batch,
                 jnp.full((self.sample_size,), s, jnp.int32),
-                max_new_tokens=max_new, eos_token_ids=self.eos_token_ids,
+                max_new_tokens=max_new_jit, eos_token_ids=self.eos_token_ids,
                 do_sample=True, temperature=temperature, top_p=top_p,
                 top_k=top_k, rng=self._next_key())
             tokens = np.asarray(out.tokens)
-            counts = np.asarray(out.num_tokens)
+            counts = np.minimum(np.asarray(out.num_tokens), max_new)
             texts = [
                 self.decode(list(query) + list(tokens[i, : counts[i]]))
                 for i in range(self.sample_size)

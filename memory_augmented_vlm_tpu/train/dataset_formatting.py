@@ -50,7 +50,14 @@ def _render_chat(messages: Sequence[dict], template: str) -> str:
             head, nl, _ = conv.system.partition("\n")
             conv.system = head + nl + text if nl else text
             continue
-        conv.append_message(role_map.get(role, role), text)
+        mapped = role_map.get(role.lower())
+        if mapped is None:
+            # an unmapped role would render a malformed template (e.g.
+            # ChatML body with no '<|im_start|>' header) — fail loudly
+            raise ValueError(
+                f"unknown chat role {role!r}; expected one of "
+                f"{sorted(role_map)} or 'system'")
+        conv.append_message(mapped, text)
     return conv.get_prompt()
 
 

@@ -176,6 +176,13 @@ class TextEnvironment:
         return history
 
     @staticmethod
+    def _trim_at_stop(text: str) -> str:
+        """Cut a decoded model turn just after the earliest stop marker."""
+        cuts = [text.index(m) + len(m)
+                for m in (CALL_TOKEN, SUBMIT_TOKEN) if m in text]
+        return text[: min(cuts)] if cuts else text
+
+    @staticmethod
     def parse_tool_call(text: str):
         """`<request><ToolName>query<call>` → (tool, query)
         (base_environment.py:329-352)."""
@@ -233,7 +240,19 @@ class TextEnvironment:
         for i, out in zip(active, outs):
             out = [int(t) for t in out]
             if out:
-                histories[i].append_segment(self.decode(out), out, system=False)
+                text = self.decode(out)
+                trimmed = self._trim_at_stop(text)
+                if trimmed != text:
+                    # host-side fallback matching the reference's
+                    # StringStoppingCriteria: when the control markers are
+                    # not atomic special tokens in the user's tokenizer, the
+                    # in-context BPE differs from encode('<call>') and the
+                    # token-suffix stop never fires — trim the decoded string
+                    # at the first marker and re-encode so the history stays
+                    # text/token consistent
+                    text = trimmed
+                    out = [int(t) for t in self.encode(text)]
+                histories[i].append_segment(text, out, system=False)
             else:
                 # an immediately-empty turn cannot contain a request — the
                 # episode ends at the next end-check, matching the reference's

@@ -107,6 +107,81 @@ def test_prequantized_int8_lm_decode_drift_bounded():
                                rtol=2e-4, atol=2e-4)
 
 
+def _greedy_decode(params, cfg, ids, n_new, kv_int8=False):
+    """Greedy continuation via the same prefill+decode_step spine bench.py
+    uses; returns (tokens (B, n_new), prefill last-position logits)."""
+    from memory_augmented_vlm_tpu.models import qwen2
+
+    b, s = ids.shape
+    emb = qwen2.embed_tokens(params, jnp.asarray(ids))
+    pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    hidden, cache = qwen2.forward(params, cfg, emb, pos,
+                                  cache_max_len=s + n_new)
+    logits0 = np.asarray(qwen2.unembed(params, cfg, hidden[:, -1:]))[:, 0]
+    if kv_int8:
+        cache = qwen2.quantize_cache(cache)
+    logits = jnp.asarray(logits0)
+    toks = []
+    for _ in range(n_new):
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        toks.append(np.asarray(tok))
+        emb_t = qwen2.embed_tokens(params, tok[:, None], cfg)
+        h, cache = qwen2.decode_step(params, cfg, emb_t, cache)
+        logits = qwen2.unembed(params, cfg, h)[:, 0]
+    return np.stack(toks, axis=1), logits0
+
+
+def test_serving_int8_greedy_agreement_and_logit_drift():
+    """Qualify the full int8 serving config (dense kernels + unembed + KV
+    cache all int8 — bench.py's load_8bit-analogue headline mode) against
+    the unquantized path over a prompt corpus: greedy token agreement must
+    stay high and prefill logit drift in the 1e-2 RMS class.
+
+    This is the numerics gate VERDICT.md round 3 asked for before
+    promoting the int8 config to the serving headline."""
+    from memory_augmented_vlm_tpu.config import LMConfig
+    from memory_augmented_vlm_tpu.models import qwen2
+
+    cfg = LMConfig(vocab_size=50000, hidden_size=64, intermediate_size=128,
+                   num_hidden_layers=3, num_attention_heads=4,
+                   num_key_value_heads=2, head_dim=16, rope_theta=10000.0)
+    params = qwen2.init_params(cfg, jax.random.key(0))
+    qparams = qwen2.prequantize_int8(params, cfg, include_unembed=True)
+    assert qparams["unembed_int8"].dtype == jnp.int8
+    assert qparams["unembed_scale"].shape == (cfg.vocab_size,)
+
+    ids = np.random.default_rng(0).integers(0, 49000, size=(8, 16))
+    ref_toks, ref_logits = _greedy_decode(params, cfg, ids, 12)
+    got_toks, got_logits = _greedy_decode(qparams, cfg, ids, 12, kv_int8=True)
+
+    drift = np.abs(got_logits - ref_logits).std() / ref_logits.std()
+    assert drift < 0.05, drift
+    agreement = float((ref_toks == got_toks).mean())
+    # random tiny weights are the WORST case for argmax stability (top-1/2
+    # gap ~ sigma/sqrt(2 ln V)); trained logit margins are far wider
+    assert agreement >= 0.85, agreement
+
+
+def test_int8_unembed_untied_lm():
+    """Untied models (7B class): include_unembed quantizes lm_head, drops
+    the dense copy, and unembed output stays in the int8 drift class."""
+    from memory_augmented_vlm_tpu.config import LMConfig
+    from memory_augmented_vlm_tpu.models import qwen2
+
+    cfg = LMConfig(vocab_size=4096, hidden_size=64, intermediate_size=128,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   num_key_value_heads=2, head_dim=16,
+                   tie_word_embeddings=False)
+    params = qwen2.init_params(cfg, jax.random.key(1))
+    qparams = qwen2.prequantize_int8(params, cfg, include_unembed=True)
+    assert "lm_head" not in qparams
+    h = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 3, 64)), jnp.float32)
+    ref = np.asarray(qwen2.unembed(params, cfg, h))
+    got = np.asarray(qwen2.unembed(qparams, cfg, h))
+    assert np.abs(got - ref).std() / ref.std() < 0.02
+
+
 def test_int4_pack_unpack_roundtrip():
     import numpy as np
     import jax

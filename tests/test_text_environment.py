@@ -76,6 +76,21 @@ def test_unknown_tool_and_malformed_call():
     assert "Unknown tool call:" in histories[0].text
 
 
+def test_host_side_stop_trim_for_non_atomic_markers():
+    """When the tokenizer does not treat <call>/<submit> as atomic special
+    tokens (here: char-level encode), the token-suffix stop cannot fire —
+    the host-side fallback must trim the decoded turn at the first marker
+    (the reference's StringStoppingCriteria semantics)."""
+    env = env_with([f"{REQUEST_TOKEN}<Calc>2+2{CALL_TOKEN}overrun text",
+                    f"ok{SUBMIT_TOKEN}trailing junk"])
+    *_, histories = env.run(["q"])
+    h = histories[0]
+    assert "overrun" not in h.text and "trailing junk" not in h.text
+    assert h.text.endswith(SUBMIT_TOKEN)
+    # tokens stay consistent with the trimmed text
+    assert decode(h.tokens) == h.text
+
+
 def test_tool_error_and_response_truncation():
     def boom(q):
         raise RuntimeError("nope")

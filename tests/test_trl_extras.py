@@ -126,3 +126,38 @@ def test_formatting_system_override():
     fn = dfmt.conversations_formatting_function("messages")
     out = fn({"messages": msgs})
     assert out.startswith("<|im_start|>system\nBe terse.<|im_end|>\n")
+
+
+def test_formatting_unknown_role_raises():
+    """Unknown roles must fail loudly, not render a headerless ChatML body
+    (ADVICE round 3); case variants of known roles still map."""
+    import pytest
+
+    fn = dfmt.conversations_formatting_function("messages")
+    with pytest.raises(ValueError, match="unknown chat role 'tool'"):
+        fn({"messages": [{"role": "tool", "content": "result"}]})
+    # case-insensitive mapping of the known roles
+    up = [{"role": "Human", "content": "What is 2+2?"},
+          {"role": "GPT", "content": "4"}]
+    assert fn({"messages": up}) == CHAT_RENDERED
+
+
+def test_best_of_n_length_bucket_single_compile(tiny_model):
+    """A wide LengthSampler range must not create one jit compile per draw:
+    draws in the same 32-token bucket share a compile, and returned counts
+    trim to the sampled length."""
+    from memory_augmented_vlm_tpu.models import vlm
+
+    cfg, params = tiny_model
+    draws = iter([5, 17, 29])
+    sampler = BestOfNSampler(
+        params, cfg, lambda texts: [float(len(t)) for t in texts],
+        lambda: next(draws),
+        decode=lambda ids: "".join(chr(97 + int(t) % 26) for t in ids),
+        sample_size=2, seed=0)
+    vlm._jit_generate.cache_clear()
+    before = vlm._jit_generate.cache_info().misses
+    for _ in range(3):
+        sampler.generate([3, 5, 7])
+    misses = vlm._jit_generate.cache_info().misses - before
+    assert misses == 1, misses
