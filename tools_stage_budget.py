@@ -1,7 +1,9 @@
 """Stage budget at HEAD by in-graph differencing: progressively larger
 prefixes of the headline pipeline, each compiled whole and timed with a
-forced scalar fetch (relay-safe)."""
+forced scalar fetch (relay-safe). --serving_int8 measures the qualified
+full-int8 serving config (lm_int8 + int8 unembed + kv_int8)."""
 import dataclasses
+import sys
 import time
 
 import numpy as np
@@ -12,11 +14,16 @@ import bench
 from memory_augmented_vlm_tpu.config import VLMConfig
 from memory_augmented_vlm_tpu.models import qwen2, siglip, vlm
 
+SERVING_INT8 = "--serving_int8" in sys.argv
+
 cfg = VLMConfig.onevision_0_5b()
 cfg = dataclasses.replace(
     cfg, pipeline=dataclasses.replace(cfg.pipeline, tower_int8=True))
 params = vlm.init_params(cfg, jax.random.key(0), jnp.bfloat16)
 params["vision_tower"] = siglip.prequantize_int8(params["vision_tower"])
+if SERVING_INT8:
+    params["language_model"] = qwen2.prequantize_int8(
+        params["language_model"], include_unembed=True)
 rng = np.random.default_rng(0)
 pixels = jnp.asarray(rng.standard_normal((64, 384, 384, 3)), jnp.bfloat16)
 tb = jnp.asarray([151644, 872, 198], jnp.int32)
@@ -57,7 +64,7 @@ def stage_prefill(params, pixels, tb, ta):
     return hidden
 
 
-full, _ = bench.build_pipeline(cfg)
+full, _ = bench.build_pipeline(cfg, kv_int8=SERVING_INT8)
 
 
 def stage_full(params, pixels, tb, ta):
