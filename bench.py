@@ -179,10 +179,13 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="0.5b", choices=["0.5b", "7b"])
-    ap.add_argument("--lm_int8", action="store_true",
-                    help="0.5b only: also serve the LM int8 (the reference's "
-                    "load_8bit quantizes the LM via bitsandbytes, "
-                    "builder.py:30-34); 7b is always int8 (HBM bound)")
+    ap.add_argument("--bf16_lm", action="store_true",
+                    help="0.5b only: serve the LM in bf16 instead of the "
+                    "default full-int8 serving config (the reference's "
+                    "load_8bit, builder.py:30-34 — numerics-qualified at "
+                    "flagship size: 100%% greedy agreement over an 8-prompt "
+                    "corpus, tools_int8_qualify.py + tests/test_quant.py; "
+                    "promoted to the headline per that gate)")
     ap.add_argument("--frames", type=int, default=NUM_FRAMES,
                     help="clip length; BASELINE.json configs span 16-128 "
                     "(non-multiples of the 32-frame segment pad with a "
@@ -190,12 +193,6 @@ def main():
     ap.add_argument("--no_memory", action="store_true",
                     help="BASELINE.json config 2: baseline frame pooling, "
                     "no memory module (plain pooled frames + image_newline)")
-    ap.add_argument("--int8_unembed", action="store_true",
-                    help="with --lm_int8: int8 logits matmul too (the "
-                    "272 MB/step unembed read is the biggest decode stream)")
-    ap.add_argument("--kv_int8", action="store_true",
-                    help="int8 KV cache for the decode loop (serving "
-                    "config; halves the 9.7k-ctx cache read per step)")
     args, _ = ap.parse_known_args()
     nframes = args.frames
 
@@ -231,14 +228,17 @@ def main():
         params = vlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
         params["vision_tower"] = siglip.prequantize_int8(params["vision_tower"])
         metric_name = f"visual_tokens_per_s_{nframes}frame_clip_to_answer_0.5b"
-        if args.lm_int8:
+        serving_int8 = not args.bf16_lm
+        if serving_int8:
+            # default: the qualified full-int8 serving config — int8 dense
+            # kernels + int8 unembed + int8 KV cache (see --bf16_lm help)
             params["language_model"] = qwen2.prequantize_int8(
-                params["language_model"], include_unembed=args.int8_unembed)
+                params["language_model"], include_unembed=True)
             metric_name += "_lm_int8"
         if args.no_memory:
             metric_name += "_no_memory"
         pipeline, nseg = build_pipeline(cfg, nframes, no_memory=args.no_memory,
-                                        kv_int8=args.kv_int8)
+                                        kv_int8=serving_int8)
         baseline = baseline_visual_tokens_per_s(nframes, "0.5b",
                                                 no_memory=args.no_memory)
 
