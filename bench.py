@@ -57,7 +57,7 @@ def baseline_visual_tokens_per_s(num_frames: int, model: str = "0.5b",
         # plain pooled video branch: 196 + newline per frame + text
         s_tokens = 197 * num_frames + 15
     else:
-        nseg = (num_frames + 31) // 32
+        nseg = min((num_frames + 31) // 32, 10)  # ring cache caps at 10
         # 8*196 memory tokens/segment + 196/fine frame + vis prompts + text
         s_tokens = 1568 * nseg + 196 * min(32, num_frames) + 36
     n_params = 7.6e9 if model == "7b" else 0.5e9
@@ -74,7 +74,11 @@ def build_pipeline(cfg: VLMConfig, num_frames: int = NUM_FRAMES,
     # partially-valid segment)
     fmax = vlm.pad_frames_to_segment_multiple(
         num_frames, cfg.memory.segment_frames)
-    nseg = fmax // cfg.memory.segment_frames
+    # >cache_cap segments overflow the ring cache: the memory stream keeps
+    # the LAST cap segment memories (MemoryController.py:152-154 sliding
+    # window), so the spliced length clamps at cap (video_qa_embeds does
+    # the same; exercised by --frames > 320)
+    nseg = min(fmax // cfg.memory.segment_frames, cfg.memory.cache_cap)
     fine_idx = jnp.asarray(vlm.fine_frame_indices(num_frames, cfg.memory.num_fine_frames))
     frame_idx = jnp.arange(fmax)
     frame_valid = jnp.arange(fmax) < num_frames

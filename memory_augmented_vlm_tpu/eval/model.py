@@ -160,17 +160,19 @@ class MavlmForCausalLM:
         if num_beams > 1:
             from memory_augmented_vlm_tpu.models import beam_search
 
-            if do_sample:
-                raise NotImplementedError("beam sampling is not supported; "
-                                          "use do_sample OR num_beams")
             rows_out = [
                 beam_search.beam_search(
                     self.params, self.cfg, e, num_beams=num_beams,
                     max_new_tokens=max_new_tokens, eos_token_ids=eos,
                     length_penalty=float(kwargs.get("length_penalty", 1.0)),
                     repetition_penalty=float(repetition_penalty),
-                    stop_sequences=kn["stop_sequences"])
-                for e in embeds_rows
+                    stop_sequences=kn["stop_sequences"],
+                    # beam sampling (HF beam_sample): per-row keys so batch
+                    # rows draw independently
+                    do_sample=kn["do_sample"], temperature=kn["temperature"],
+                    top_p=kn["top_p"], top_k=kn["top_k"],
+                    rng=jax.random.fold_in(kn["rng"], b))
+                for b, e in enumerate(embeds_rows)
             ]
             width = max(1, max(len(r) for r in rows_out))
             result = np.zeros((batch, width), np.int64)

@@ -30,13 +30,21 @@ import jax.numpy as jnp
 from memory_augmented_vlm_tpu.config import VLMConfig
 from memory_augmented_vlm_tpu.models import qwen2, sampling
 
-NEG_INF = -1.0e9
+# sentinel for "no candidate": must rank below ANY genuine score. Beam
+# SAMPLING scores compound by 1/temperature each step (the HF formula
+# warps the accumulated sum), so tiny temperatures push real scores to
+# ~-1e33 — only -inf is safely below them (finite sentinels broke the
+# eos masking at temperature 1e-4; comparisons use isfinite-style
+# `> -inf` instead of `> sentinel/2`).
+NEG_INF = -float("inf")
 
 
 def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
-               stop_seqs, stop_lens,
+               stop_seqs, stop_lens, rng,
                *, num_beams: int, max_new_tokens: int, length_penalty: float,
-               repetition_penalty: float = 1.0):
+               repetition_penalty: float = 1.0, do_sample: bool = False,
+               temperature: float = 1.0, top_p: float = 1.0,
+               top_k: int = 0):
     """embeds (1, Smax, H) right-padded. Returns (tokens (max_new,), n).
 
     `repetition_penalty` follows HF's beam path exactly: the
@@ -45,11 +53,45 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
     over the generated ids only — with `inputs_embeds` and no `input_ids`,
     HF's rolling `input_ids` holds just the generated tokens, so the prompt
     is never penalized (matching the reference's multimodal generate,
-    llava_qwen.py:116-136)."""
+    llava_qwen.py:116-136).
+
+    `do_sample=True` is HF beam SAMPLING (GenerationMixin._beam_search with
+    do_sample, transformers 4.57 semantics, generation/utils.py
+    `_get_top_k_continuations`): the logits warpers (temperature -> top-k
+    -> top-p) run on the PER-BEAM log-probs BEFORE the running beam scores
+    are added (the warpers ride inside `logits_processor` when sampling),
+    then the 2K candidates are drawn WITHOUT replacement from the softmax
+    over the flattened (K*V) accumulated scores (torch.multinomial,
+    realized here as Gumbel-top-k, equal in distribution) and kept in DRAW
+    order — HF's `top_num_beam_mask` makes the first K draw positions the
+    pool-eligible ones, so no descending sort happens on the sampled
+    candidates."""
     lm = params["language_model"]
     k = num_beams
     track = repetition_penalty != 1.0
     track_kw = int(stop_seqs.shape[0]) > 0
+
+    def select2k(beam_scores, logp_rows, step_key):
+        """2K candidates from running scores (R,) + processed log-probs
+        (R, V) -> (scores (2K,), flat idx (2K,)): top-2K of the accumulated
+        scores (search), or 2K multinomial draws without replacement in
+        draw order (sampling)."""
+        if do_sample:
+            if temperature not in (0.0, 1.0):
+                logp_rows = logp_rows / temperature
+            logp_rows = sampling.apply_top_k(logp_rows, top_k)
+            logp_rows = sampling.apply_top_p(logp_rows, top_p)
+        acc = (beam_scores[:, None] + logp_rows).reshape(-1)
+        if not do_sample:
+            return jax.lax.top_k(acc, 2 * k)
+        # Gumbel-top-k == multinomial without replacement over softmax(acc)
+        # (log_softmax differs from acc by a constant; argtop is invariant)
+        u = jax.random.uniform(step_key, acc.shape, jnp.float32,
+                               minval=1e-20, maxval=1.0)
+        gumbel = -jnp.log(-jnp.log(u))
+        _, idx = jax.lax.top_k(acc + gumbel, 2 * k)
+        return jnp.take(acc, idx), idx
+
     smax = embeds.shape[1]
     hidden, cache0 = qwen2.forward(
         lm, cfg.lm, embeds, jnp.arange(smax)[None], valid_len=valid_len,
@@ -62,11 +104,15 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
     def is_eos(tok):
         return jnp.any(tok[..., None] == eos_ids[None, :], axis=-1)
 
-    # seed from the top-2K of the prefill distribution with HF's split rule:
-    # eos candidates among the first K ranks go to the hypothesis pool, the
-    # best K non-eos candidates become the running beams (BeamSearchScorer
-    # .process applied to a first step where all beams share one history)
-    cand_scores0, cand_tok0 = jax.lax.top_k(logp0, 2 * k)
+    # seed from the top-2K (or 2K sampled) of the prefill distribution with
+    # HF's split rule: eos candidates among the first K ranks go to the
+    # hypothesis pool, the best K non-eos candidates become the running
+    # beams (BeamSearchScorer.process applied to a first step where all
+    # beams share one history; HF's -1e9 init on beams 1..K-1 makes the
+    # flattened first-step draw equivalent to drawing from beam 0's row)
+    cand_scores0, cand_tok0 = select2k(jnp.zeros((1,)), logp0[None],
+                                       jax.random.fold_in(rng, 0))
+    cand_tok0 = cand_tok0.astype(jnp.int32)
     cand_done0 = is_eos(cand_tok0)
     if track_kw:
         # stopping-criteria hits act exactly like eos in HF's vectorized
@@ -112,8 +158,8 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
                             logp / repetition_penalty)
             logp = jnp.where(state["presence"], pen, logp)
         v = logp.shape[-1]
-        cand = (scores[:, None] + logp).reshape(-1)           # (K*V,)
-        cand_scores, cand_idx = jax.lax.top_k(cand, 2 * k)
+        cand_scores, cand_idx = select2k(scores, logp,
+                                         jax.random.fold_in(rng, step))
         cand_beam = cand_idx // v
         cand_tok = (cand_idx % v).astype(jnp.int32)
         cand_tokens = jnp.take(tokens, cand_beam, axis=0).at[:, step].set(cand_tok)
@@ -163,7 +209,7 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
 
     def cond(state):
         # early_stopping=True
-        done = jnp.sum(state["fin_scores"] > NEG_INF / 2) >= k
+        done = jnp.sum(state["fin_scores"] > NEG_INF) >= k
         if track_kw:
             done = jnp.logical_or(done, state["all_cand_done"])
         return jnp.logical_and(state["step"] < max_new_tokens,
@@ -184,7 +230,7 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
     # finalize: HF's finalize adds running beams ONLY when the search was
     # not early-stopped (pool not yet full); after an early stop the pool
     # alone competes
-    pool_full = jnp.sum(fin_scores > NEG_INF / 2) >= k
+    pool_full = jnp.sum(fin_scores > NEG_INF) >= k
     run_fin = jnp.where(
         pool_full, NEG_INF,
         scores / (step.astype(jnp.float32) ** length_penalty))
@@ -202,12 +248,16 @@ def _beam_core(params, cfg: VLMConfig, embeds, valid_len, eos_ids,
 
 @functools.lru_cache(maxsize=16)
 def _jit_beam(cfg: VLMConfig, num_beams: int, max_new_tokens: int,
-              length_penalty: float, repetition_penalty: float):
+              length_penalty: float, repetition_penalty: float,
+              do_sample: bool, temperature: float, top_p: float,
+              top_k: int):
     return jax.jit(
         functools.partial(_beam_core, num_beams=num_beams,
                           max_new_tokens=max_new_tokens,
                           length_penalty=length_penalty,
-                          repetition_penalty=repetition_penalty),
+                          repetition_penalty=repetition_penalty,
+                          do_sample=do_sample, temperature=temperature,
+                          top_p=top_p, top_k=top_k),
         static_argnames=("cfg",),
     )
 
@@ -224,18 +274,27 @@ def beam_search(
     repetition_penalty: float = 1.0,
     stop_sequences: Tuple[Tuple[int, ...], ...] = (),
     pad_to_multiple: int = 128,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+    top_k: int = 0,
+    rng: jax.Array = None,
 ) -> np.ndarray:
     """Best beam's generated ids (without prompt echo), truncated just after
-    the first stop sequence (matching the greedy path's `num` accounting)."""
+    the first stop sequence (matching the greedy path's `num` accounting).
+    `do_sample=True` = HF beam sampling (see _beam_core)."""
     s = inputs_embeds.shape[0]
     smax = ((s + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple
     embeds = jnp.pad(inputs_embeds, ((0, smax - s), (0, 0)))[None]
     seqs, lens = sampling.pack_stop_sequences(stop_sequences)
     fn = _jit_beam(cfg, int(num_beams), int(max_new_tokens),
-                   float(length_penalty), float(repetition_penalty))
+                   float(length_penalty), float(repetition_penalty),
+                   bool(do_sample), float(temperature), float(top_p),
+                   int(top_k))
     tokens, n = fn(params, cfg, embeds, jnp.asarray([s], jnp.int32),
                    jnp.asarray(eos_token_ids, jnp.int32),
-                   jnp.asarray(seqs), jnp.asarray(lens))
+                   jnp.asarray(seqs), jnp.asarray(lens),
+                   rng if rng is not None else jax.random.key(0))
     out = np.asarray(tokens)[: int(n)]
     # host-side cut at the earliest completed stop sequence (inclusive, like
     # the greedy path, whose `num` counts the stop tokens; callers strip the
