@@ -5,11 +5,21 @@ clips/sec over a stream of clips with host-side decode/preprocess overlapped
 against device compute (the SURVEY §7 "tower never starves the LM"
 requirement) — the serving/eval steady state.
 
-Prints one JSON line (not the driver metric).
+`--synthetic-producer` (VERDICT round-3 item 6) drops the host-PIL rows
+entirely: clips are pre-staged device tensors, so the reported clips/s is
+device-bound BY CONSTRUCTION and reproducible on a host-poor box (round-3's
+host-overlapped number regressed 2x purely from a slow 1-core host that
+session). Without the flag, host-overlapped and serial rows are measured
+too and the pipelined number is the headline.
+
+Prints one JSON line (not the driver metric). vs_baseline compares
+clips/s against the modeled A100 single-clip pipeline run back-to-back
+(bench.py's 16.5k visual tok/s => ~1.75 clips/s at 9429 tokens/clip).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import threading
 import time
@@ -21,10 +31,16 @@ import jax.numpy as jnp
 
 from memory_augmented_vlm_tpu.config import VLMConfig
 from memory_augmented_vlm_tpu.data.preprocessing import SigLipImageProcessor
-from bench import MAX_NEW_TOKENS, NUM_FRAMES, build_pipeline
-from memory_augmented_vlm_tpu.models import vlm
+from bench import (
+    A100_BASELINE_VISUAL_TOKENS_PER_S,
+    MAX_NEW_TOKENS,
+    NUM_FRAMES,
+    build_pipeline,
+)
+from memory_augmented_vlm_tpu.models import qwen2, vlm
 
 NUM_CLIPS = 8
+VISUAL_TOKENS_PER_CLIP = 9429
 
 
 def main():
@@ -32,13 +48,23 @@ def main():
 
     from memory_augmented_vlm_tpu.models import siglip
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--synthetic-producer", action="store_true",
+                    help="pre-staged device tensors, zero host decode: the "
+                    "device-bound sustained number (reproducible regardless "
+                    "of host speed)")
+    args = ap.parse_args()
+
     cfg = VLMConfig.onevision_0_5b()
-    # same serving config as the headline bench: int8 frozen tower
+    # same serving config as the headline bench: int8 tower + the
+    # qualified full-int8 LM (int8 unembed + int8 KV)
     cfg = dataclasses.replace(
         cfg, pipeline=dataclasses.replace(cfg.pipeline, tower_int8=True))
     params = vlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
     params["vision_tower"] = siglip.prequantize_int8(params["vision_tower"])
-    pipeline, _ = build_pipeline(cfg)
+    params["language_model"] = qwen2.prequantize_int8(
+        params["language_model"], include_unembed=True)
+    pipeline, _ = build_pipeline(cfg, kv_int8=True)
     fn = jax.jit(pipeline)
 
     rng = np.random.default_rng(0)
@@ -131,6 +157,27 @@ def main():
         results.extend(np.asarray(r) for r in inflight)
         return time.perf_counter() - t0
 
+    baseline_clips_per_s = (A100_BASELINE_VISUAL_TOKENS_PER_S
+                            / VISUAL_TOKENS_PER_CLIP)
+    if args.synthetic_producer:
+        # device-bound by construction: two device-only modes, no host rows
+        t_dev = run_device_bound()
+        t_devprep = run_device_preprocess()
+        clips_per_s = NUM_CLIPS / t_dev
+        print(json.dumps({
+            "metric": "sustained_clips_per_s_64frame_0.5b_synthetic_producer",
+            "value": round(clips_per_s, 3),
+            "unit": "clips/s",
+            "vs_baseline": round(clips_per_s / baseline_clips_per_s, 3),
+            "detail": {
+                "device_bound_s_per_clip": round(t_dev / NUM_CLIPS, 3),
+                "device_preprocess_clips_per_s": round(NUM_CLIPS / t_devprep, 3),
+                "device_preprocess_s_per_clip": round(t_devprep / NUM_CLIPS, 3),
+                "clips": NUM_CLIPS,
+            },
+        }))
+        return
+
     t_serial = run(pipelined=False)
     t_piped = run(pipelined=True)
     t_dev = run_device_bound()
@@ -139,9 +186,10 @@ def main():
         "metric": "pipelined_clip_throughput_64frame_0.5b",
         "value": round(NUM_CLIPS / t_piped, 3),
         "unit": "clips/s",
-        "vs_baseline": round(t_serial / t_piped, 3),  # speedup vs serial host loop
+        "vs_baseline": round((NUM_CLIPS / t_piped) / baseline_clips_per_s, 3),
         "detail": {
             "serial_s_per_clip": round(t_serial / NUM_CLIPS, 3),
+            "pipelined_speedup_vs_serial": round(t_serial / t_piped, 3),
             "pipelined_s_per_clip": round(t_piped / NUM_CLIPS, 3),
             "device_bound_clips_per_s": round(NUM_CLIPS / t_dev, 3),
             "device_bound_s_per_clip": round(t_dev / NUM_CLIPS, 3),

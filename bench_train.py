@@ -7,7 +7,14 @@ and a distinct batch per timed iteration (the relay caches identical calls).
 
 Usage: python bench_train.py [--impl intree|ours|xla] [--iters 3]
 
-Prints one JSON line {"metric", "value", "unit", "impl"}.
+Prints one JSON line with the same contract as bench.py:
+{"metric", "value", "unit", "vs_baseline", "detail"}. The baseline is the
+same analytic A100 model bench.py uses, extended to training: frozen tower
+forward (0.81 TF/frame) + LM forward+backward (3x the 2*N*S forward
+FLOPs over the ~9.7k fused tokens) + attention forward+backward at 35%
+MFU on 312 TF/s bf16 => ~0.78 s/step. `detail.vs_baseline_iso_peak`
+additionally normalizes by the chip peak ratio (v5e 197 / A100 312 bf16
+TF/s = 0.63) — the hardware-equalized comparison.
 """
 
 from __future__ import annotations
@@ -29,6 +36,17 @@ from memory_augmented_vlm_tpu.train.optimizer import OptimizerConfig
 NUM_FRAMES = 64
 NUM_FINE = 32
 ST = 128
+
+
+def baseline_train_step_s() -> float:
+    """Analytic A100 train-step time for the same geometry (see module
+    docstring; constants match bench.py's inference baseline model)."""
+    s_tokens = 1568 * 2 + 196 * 32 + 36  # 2 segments + 32 fine + prompts
+    tower_tf = 0.81 * NUM_FRAMES                   # frozen: forward only
+    lm_matmul_tf = 3 * 2 * 0.5e9 * s_tokens / 1e12  # fwd + bwd (2x fwd)
+    # causal attention fwd+bwd: 2 matmuls * S^2 * D * NH / 2, x3.5 for bwd
+    attn_tf = 3.5 * 2 * (s_tokens ** 2) * 64 * 14 * 0.5 * 24 / 1e12
+    return (tower_tf + lm_matmul_tf + attn_tf) / (312.0 * 0.35)
 
 
 def make_batch(rng, cfg):
@@ -83,16 +101,23 @@ def main():
         times.append(time.perf_counter() - t0)
     step_s = min(times)
 
+    baseline_s = baseline_train_step_s()
     print(json.dumps({
         "metric": "train_step_s_0.5b_64frame",
         "value": round(step_s, 3),
         "unit": "s/step",
+        # throughput ratio (baseline time / ours), same orientation as
+        # bench.py: >1 = faster than the modeled A100
+        "vs_baseline": round(baseline_s / step_s, 3),
         "impl": args.impl,
         "detail": {
             "all_times": [round(t, 3) for t in times],
             "compile_s": round(compile_s, 1),
             "loss_first": round(loss0, 3),
             "loss_last": round(loss, 3),
+            "baseline_modeled_s": round(baseline_s, 3),
+            # hardware-equalized: divide by the v5e/A100 bf16 peak ratio
+            "vs_baseline_iso_peak": round(baseline_s / step_s / (197.0 / 312.0), 3),
             "backend": jax.default_backend(),
         },
     }))

@@ -113,3 +113,140 @@ def test_feeds_imagebind_audio_tower():
     emb = imagebind.forward_audio(params, cfg, x)
     assert emb.shape == (3, 1, 16)
     assert np.isfinite(np.asarray(emb)).all()
+
+
+# ---------------------------------------------------------------------------
+# golden regression vectors (VERDICT round-3 item 8)
+
+# Frozen outputs of waveform_to_melspec for two deterministic 2 s inputs,
+# subsampled at mel bins [0,20,40,60,80,100,120,127] x frames [0,50,150].
+# No torchaudio/Kaldi oracle exists in this image (the analytic-property
+# tests above pin frame geometry, mel-scale peak placement, and clip
+# sampling against the documented torchaudio.compliance.kaldi.fbank
+# semantics); these goldens FREEZE the current numerics so any future
+# refactor that silently drifts the filterbank fails loudly. If a real
+# torchaudio environment ever disagrees, regenerate from torchaudio and
+# fix the implementation, not the test.
+_GOLD_BINS = [0, 20, 40, 60, 80, 100, 120, 127]
+_GOLD_FRAMES = [0, 50, 150]
+_GOLD_TONE440 = np.array([
+    [-14.129612, -14.129612, -14.129612],
+    [-0.359664, -0.359664, -0.359664],
+    [-13.202999, -13.202999, -13.202999],
+    [-17.962265, -17.962265, -17.962265],
+    [-21.466812, -21.466812, -21.466812],
+    [-24.413488, -24.413488, -24.413488],
+    [-27.513186, -27.513186, -27.513186],
+    [-29.192020, -29.192020, -29.192020],
+])
+_GOLD_NOISE7 = np.array([
+    [-7.792640, -6.839950, -8.462859],
+    [-3.975934, -3.824715, -3.394646],
+    [-1.939860, -2.152778, -0.180105],
+    [0.835708, -1.733141, -0.227867],
+    [1.206854, -0.208043, 1.710087],
+    [2.297569, 1.528345, 2.723768],
+    [3.139749, 3.435859, 3.457693],
+    [2.633708, 2.622793, 2.934024],
+])
+
+
+def test_fbank_golden_vectors():
+    sr = audio.SAMPLE_RATE
+    t = np.arange(2 * sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    noise = (0.1 * np.random.default_rng(7)
+             .standard_normal(2 * sr)).astype(np.float32)
+    for wav, gold in ((tone, _GOLD_TONE440), (noise, _GOLD_NOISE7)):
+        mel = audio.waveform_to_melspec(wav, sr)[0]
+        got = mel[np.ix_(_GOLD_BINS, _GOLD_FRAMES)]
+        np.testing.assert_allclose(got, gold, rtol=0, atol=2e-5)
+    # a stationary tone's log-mel energy is frame-invariant
+    assert np.ptp(_GOLD_TONE440, axis=1).max() == 0.0
+
+
+def test_imagebind_converter_real_audio_geometry():
+    """Run the ImageBind converter + audio forward at the REAL
+    imagebind_huge audio geometry (768 wide, 12 layers, 12 heads,
+    128x204 mel, kernel 16 / stride 10, 1024-d embeddings) — the round-3
+    verdict noted the converter was only exercised on toy pytrees.
+    Vision rides along width-faithful (1280) at reduced depth."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from memory_augmented_vlm_tpu.models import imagebind as ib
+
+    cfg = ib.ImageBindConfig(
+        hidden_size=1280, num_hidden_layers=2, num_attention_heads=16,
+        image_size=224, patch_size=14, embed_dim=1024,
+        audio_hidden_size=768, audio_num_layers=12, audio_num_heads=12,
+        audio_mel_bins=128, audio_target_len=204, audio_kernel=16,
+        audio_stride=10)
+    torch.manual_seed(0)
+    g = torch.Generator().manual_seed(0)
+
+    def t(*shape):
+        return (torch.randn(*shape, generator=g) * 0.02).numpy()
+
+    sd = {
+        "modality_preprocessors.vision.cls_token": t(1, 1, 1280),
+        "modality_preprocessors.vision.pos_embedding_helper.pos_embed":
+            t(1, 257, 1280),
+        "modality_preprocessors.vision.rgbt_stem.proj.1.weight":
+            t(1280, 3, 2, 14, 14),
+        "modality_heads.vision.0.weight": t(1280),
+        "modality_heads.vision.0.bias": t(1280),
+        "modality_heads.vision.2.weight": t(1024, 1280),
+        "modality_preprocessors.audio.cls_token": t(1, 1, 768),
+        "modality_preprocessors.audio.pos_embedding_helper.pos_embed":
+            t(1, 229, 768),
+        "modality_preprocessors.audio.rgbt_stem.proj.weight":
+            t(768, 1, 16, 16),
+        "modality_preprocessors.audio.rgbt_stem.norm_layer.weight": t(768),
+        "modality_preprocessors.audio.rgbt_stem.norm_layer.bias": t(768),
+        "modality_trunks.vision.pre_transformer_layer.0.weight": t(1280),
+        "modality_trunks.vision.pre_transformer_layer.0.bias": t(1280),
+        "modality_trunks.audio.pre_transformer_layer.0.weight": t(768),
+        "modality_trunks.audio.pre_transformer_layer.0.bias": t(768),
+        "modality_heads.audio.0.weight": t(768),
+        "modality_heads.audio.0.bias": t(768),
+        "modality_heads.audio.2.weight": t(1024, 768),
+    }
+    for prefix, n_layers, width in (
+            ("modality_trunks.vision.", 2, 1280),
+            ("modality_trunks.audio.", 12, 768)):
+        for i in range(n_layers):
+            lp = f"{prefix}blocks.{i}."
+            sd[lp + "attn.in_proj_weight"] = t(3 * width, width)
+            sd[lp + "attn.in_proj_bias"] = t(3 * width)
+            sd[lp + "attn.out_proj.weight"] = t(width, width)
+            sd[lp + "attn.out_proj.bias"] = t(width)
+            sd[lp + "norm_1.weight"] = t(width)
+            sd[lp + "norm_1.bias"] = t(width)
+            sd[lp + "norm_2.weight"] = t(width)
+            sd[lp + "norm_2.bias"] = t(width)
+            sd[lp + "mlp.fc1.weight"] = t(4 * width, width)
+            sd[lp + "mlp.fc1.bias"] = t(4 * width)
+            sd[lp + "mlp.fc2.weight"] = t(width, 4 * width)
+            sd[lp + "mlp.fc2.bias"] = t(width)
+
+    params = ib.convert_imagebind(sd, cfg)
+    # real-shape assertions: (12x19=228 patches + cls) x 768, head to 1024
+    assert params["audio"]["pos_embed"].shape == (229, 768)
+    assert params["audio"]["patch_embedding"]["kernel"].shape == (16, 16, 1, 768)
+    assert params["audio"]["head"]["proj"]["kernel"].shape == (768, 1024)
+    assert cfg.audio_patches == (12, 19)
+
+    # feed the REAL host-prep output end to end: wav -> 3 clips of
+    # (128, 204) mel -> audio trunk -> one L2*20 1024-d embedding per clip
+    sr = audio.SAMPLE_RATE
+    wav = (0.3 * np.sin(2 * np.pi * 523.25
+                        * np.arange(6 * sr) / sr)).astype(np.float32)
+    mels = audio.load_and_transform_audio([(wav, sr)])  # (1, 3, 1, 128, 204)
+    mel = jnp.asarray(np.asarray(mels)[0].transpose(0, 2, 3, 1))  # (3,128,204,1)
+    params = jax.tree.map(jnp.asarray, params)
+    out = np.asarray(ib.forward_audio(params, cfg, mel))
+    assert out.shape == (3, 1, 1024)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 20.0, rtol=1e-4)
