@@ -69,23 +69,26 @@ def _flash_fwd_kernel(
     # skip KV blocks entirely beyond the valid length
     should_run = jnp.logical_and(should_run, ikv * block_k < valid_len)
 
-    @pl.when(should_run)
-    def _run():
+    # A power-of-two softmax scale folds into the (BQ, D) q tile exactly
+    # (exponent shift — bit-identical to scaling the fp32 scores), which is
+    # block_k/D times less VPU work than scaling the (BQ, BK) score block.
+    # D=64 -> 0.125 hits this on the LM prefill hot path.
+    pow2_scale = sm_scale != 1.0 and float(
+        np.exp2(np.rint(np.log2(sm_scale)))) == sm_scale
+
+    def _scores():
         q = q_ref[0, 0]  # (BQ, D)
-        k = k_ref[0, 0]  # (BK, D)
+        if pow2_scale:
+            q = q * jnp.asarray(sm_scale, q.dtype)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # (BQ, BK)
-        if sm_scale != 1.0:
+        if sm_scale != 1.0 and not pow2_scale:
             s *= sm_scale
+        return s
 
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_k
-        mask = col_ids < valid_len
-        if causal:
-            mask = jnp.logical_and(mask, col_ids <= row_ids)
-        s = jnp.where(mask, s, MASK_VALUE)
-
+    def _accumulate(s):
         m_prev = m_scratch[...]  # (BQ, LANES) — lane-replicated row stats
         l_prev = l_scratch[...]
         m_curr = jnp.max(s, axis=1)[:, None]  # (BQ, 1)
@@ -102,6 +105,32 @@ def _flash_fwd_kernel(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )  # (BQ, D)
         acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + o_curr
+
+    # The mask (2 iotas + 2 compares + and + select over the (BQ, BK) score
+    # block) only changes anything on blocks the diagonal or the valid-length
+    # edge actually crosses; interior blocks — the majority of a long causal
+    # prefill — take a mask-free path. The kernel is VPU-bound at D=64 (the
+    # MXU work per score element is tiny), so this is the hot-loop saving.
+    needs_valid_mask = (ikv + 1) * block_k > valid_len
+    if causal:
+        needs_causal_mask = ((ikv + 1) * block_k - 1) > (iq * block_q)
+        needs_mask = jnp.logical_or(needs_causal_mask, needs_valid_mask)
+    else:
+        needs_mask = needs_valid_mask
+
+    @pl.when(jnp.logical_and(should_run, needs_mask))
+    def _run_masked():
+        s = _scores()
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_k
+        mask = col_ids < valid_len
+        if causal:
+            mask = jnp.logical_and(mask, col_ids <= row_ids)
+        _accumulate(jnp.where(mask, s, MASK_VALUE))
+
+    @pl.when(jnp.logical_and(should_run, jnp.logical_not(needs_mask)))
+    def _run_interior():
+        _accumulate(_scores())
 
     if causal:
         last_needed = jnp.minimum(
@@ -162,13 +191,28 @@ def _pallas_forward(q, k, v, kv_valid_len, causal, scale, block_q, block_k,
         block_k=block_k,
         num_kv_blocks=nkv,
     )
+    def kv_index(b_i, h_i, iq, ikv, vl):
+        # Skipped steps (above the causal diagonal or beyond the valid
+        # length) redirect their K/V fetch to block 0 — the block the next
+        # q row consumes first — so Mosaic's double-buffered DMA never
+        # streams a block the kernel body won't read. Without this, a long
+        # causal prefill DMAs ~2x the useful K/V bytes (half the grid is
+        # skipped), and short prompts in large buckets stream the whole pad
+        # region. (Same trick as the in-tree kernel's kv_index_map.)
+        run = ikv * block_k < vl[b_i]
+        if causal:
+            run = jnp.logical_and(
+                run, ((iq + 1) * block_q - 1) >= (ikv * block_k))
+        nxt = jax.lax.select(run, ikv, 0)
+        return (b_i, h_i, nxt, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, h, nq, nkv),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ikv, vl: (b, h, ikv, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ikv, vl: (b, h, ikv, 0)),
+            pl.BlockSpec((1, 1, block_k, d), kv_index),
+            pl.BlockSpec((1, 1, block_k, d), kv_index),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
         scratch_shapes=[
