@@ -108,6 +108,9 @@ def build_pipeline(cfg: VLMConfig, num_frames: int = NUM_FRAMES,
             params["language_model"], cfg.lm, padded,
             jnp.broadcast_to(jnp.arange(smax)[None], (1, smax)),
             valid_len=valid, cache_max_len=smax + MAX_NEW_TOKENS,
+            # the spliced length is a static shape here, so the prefill
+            # flash kernel can fold its valid-length scalar work away
+            static_valid_len=s,
         )
         last = jnp.take_along_axis(hidden, (valid - 1)[:, None, None], axis=1)
         logits = qwen2.unembed(params["language_model"], cfg.lm, last)[:, 0]

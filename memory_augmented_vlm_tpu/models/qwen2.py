@@ -372,12 +372,18 @@ def forward(
     memory_prompt: Optional[jax.Array] = None,
     memory_prompt_layers: int = 10,
     need_cache: bool = True,
+    static_valid_len: Optional[int] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Full-sequence forward (prefill / training).
 
     inputs_embeds: (B, S, H) — already spliced with visual embeddings.
     positions:     (B, S) int32 RoPE positions.
     valid_len:     (B,) int32 — right-padded valid length (None = all valid).
+    static_valid_len: compile-time valid length when the caller knows it at
+                   trace time (single-clip pipelines: the spliced length is
+                   a static shape) — folds the prefill flash kernel's
+                   per-grid-step valid-length scalar work to constants
+                   (ops/attention.py). Must equal every valid_len entry.
     cache_max_len: if set, the returned KVCache is padded to this length so
                    decode can continue in place.
     memory_prompt: optional (T, H) deep-prompt memory tokens exposed as extra
@@ -525,6 +531,7 @@ def forward(
                         kv_valid_len=valid_len,
                         force_reference=force_reference_attention,
                         differentiable=differentiable_attention,
+                        static_valid_len=static_valid_len,
                     )
         else:
             # memory chunk as extra (non-causal) keys/values, masked out on

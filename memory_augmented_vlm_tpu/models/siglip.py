@@ -202,8 +202,17 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
                     lp["out_proj"]["bias"], block_q=64, interpret=_interpret,
                 )
             else:
+                # In-context block_q sweep on v5e (tools_merge_bq_ab.py,
+                # round 4): 128 -> 285.5, 192 -> 269.0, 256 -> 268.6,
+                # 384 -> 254.2, 768 -> 257.7 ms tower. 384 needs the scoped
+                # VMEM limit raised past the 16 MB default (fits easily in
+                # the 128 MB physical VMEM); guarded on divisibility since
+                # the kernel's fallback halves block_q (power-of-two walk).
+                merge_bq, merge_vmem = (
+                    (384, 48 << 20) if spad % 384 == 0 else (128, None))
                 attn = flash_attention_merge_heads(
-                    q, k, v, kv_valid, interpret=_interpret)[:, :s]
+                    q, k, v, kv_valid, block_q=merge_bq,
+                    vmem_limit_bytes=merge_vmem, interpret=_interpret)[:, :s]
                 hidden = hidden + _linear(lp["out_proj"], attn, int8)
         else:
             residual = hidden

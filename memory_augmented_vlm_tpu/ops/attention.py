@@ -137,6 +137,7 @@ def flash_attention(
     scale: Optional[float] = None,
     force_reference: bool = False,
     differentiable: bool = False,
+    static_valid_len: Optional[int] = None,
 ) -> jax.Array:
     """Flash attention for LM prefill. Dispatches on TPU to:
 
@@ -149,6 +150,12 @@ def flash_attention(
 
     q, k, v: (B, S, H, D) — same H (repeat GQA beforehand) and same S.
     *_valid_len: (B,) int32 — padding masks for bucketed sequence lengths.
+    static_valid_len: compile-time valid length when the caller knows it at
+    trace time (the single-clip pipeline's spliced length is a static
+    shape); the inference Pallas kernel folds its per-grid-step
+    valid-length scalar work to constants (~11% at the flagship prefill
+    shape, tools_prefill_flash_ab2.py). Ignored on the training and
+    reference paths (the traced kv_valid_len already covers them).
     """
     on_tpu = jax.default_backend() == "tpu"
     d_ok = q.shape[-1] in (64, 128, 256)
@@ -158,6 +165,7 @@ def flash_attention(
 
             return pallas_flash_attention(
                 q, k, v, causal=causal, kv_valid_len=kv_valid_len, scale=scale,
+                static_valid_len=static_valid_len,
             )
         if TRAIN_ATTENTION_IMPL == "ours":
             from memory_augmented_vlm_tpu.ops.pallas_flash_bwd import (

@@ -48,6 +48,7 @@ def _flash_fwd_kernel(
     block_q: int,
     block_k: int,
     num_kv_blocks: int,
+    static_valid_len: Optional[int] = None,
 ):
     b = pl.program_id(0)
     iq = pl.program_id(2)
@@ -59,7 +60,12 @@ def _flash_fwd_kernel(
         l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
         acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
 
-    valid_len = valid_len_ref[b]
+    # static_valid_len specializes the kernel on a compile-time valid length
+    # (the single-clip serving path knows it at trace time): every
+    # valid-length scalar compare folds to a constant, whole-block decisions
+    # become static per-ikv arithmetic, and the SMEM prefetch is never read.
+    valid_len = (static_valid_len if static_valid_len is not None
+                 else valid_len_ref[b])
 
     if causal:
         # skip KV blocks entirely above the diagonal
@@ -150,7 +156,7 @@ def _flash_fwd_kernel(
 
 
 def _pallas_forward(q, k, v, kv_valid_len, causal, scale, block_q, block_k,
-                    interpret, layout="bshd"):
+                    interpret, layout="bshd", static_valid_len=None):
     if layout == "bhsd":
         # caller already supplies head-major tensors (e.g. the fused int8
         # QKV kernel, ops/pallas_qkv_int8.py) — no HBM transposes needed
@@ -190,6 +196,7 @@ def _pallas_forward(q, k, v, kv_valid_len, causal, scale, block_q, block_k,
         block_q=block_q,
         block_k=block_k,
         num_kv_blocks=nkv,
+        static_valid_len=static_valid_len,
     )
     def kv_index(b_i, h_i, iq, ikv, vl):
         # Skipped steps (above the causal diagonal or beyond the valid
@@ -199,7 +206,8 @@ def _pallas_forward(q, k, v, kv_valid_len, causal, scale, block_q, block_k,
         # causal prefill DMAs ~2x the useful K/V bytes (half the grid is
         # skipped), and short prompts in large buckets stream the whole pad
         # region. (Same trick as the in-tree kernel's kv_index_map.)
-        run = ikv * block_k < vl[b_i]
+        vlen = static_valid_len if static_valid_len is not None else vl[b_i]
+        run = ikv * block_k < vlen
         if causal:
             run = jnp.logical_and(
                 run, ((iq + 1) * block_q - 1) >= (ikv * block_k))
@@ -284,6 +292,7 @@ def flash_attention_merge_heads(
     *,
     scale: Optional[float] = None,
     block_q: int = 128,
+    vmem_limit_bytes: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """One-shot flash attention that writes MERGED heads — (B, S_pad, NH*D),
@@ -323,6 +332,7 @@ def flash_attention_merge_heads(
         out_shape=jax.ShapeDtypeStruct((b, s_pad, nh * d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_bytes,
         ),
         interpret=interpret,
     )(kv_valid_len.astype(jnp.int32), q, k, v)
@@ -384,6 +394,7 @@ def flash_attention_out_proj_int8(
     *,
     scale: Optional[float] = None,
     block_q: int = 128,
+    vmem_limit_bytes: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """`flash_attention_merge_heads` + the int8 out-projection + residual
@@ -434,6 +445,7 @@ def flash_attention_out_proj_int8(
         out_shape=jax.ShapeDtypeStruct((b, s_pad, h_tot), hidden.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_bytes,
         ),
         interpret=interpret,
     )(kv_valid_len.astype(jnp.int32), q, k, v, hidden, wo, vec(so), vec(bo))
@@ -461,6 +473,8 @@ def _xla_attention(q, k, v, kv_valid_len, causal, scale, layout="bshd"):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _flash(static, q, k, v, kv_valid_len):
+    # static = (causal, scale, block_q, block_k, interpret, layout,
+    #           static_valid_len) — the trailing entries optional.
     return _pallas_forward(q, k, v, kv_valid_len, *static)
 
 
@@ -485,8 +499,16 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 @functools.partial(
     jax.jit, static_argnames=("causal", "scale", "block_q", "block_k",
-                              "interpret", "layout")
+                              "interpret", "layout", "static_valid_len")
 )
+def _pallas_flash_attention_jit(q, k, v, kv_valid_len, *, causal, scale,
+                                block_q, block_k, interpret, layout,
+                                static_valid_len):
+    return _flash((causal, scale, block_q, block_k, interpret, layout,
+                   static_valid_len),
+                  q, k, v, kv_valid_len)
+
+
 def pallas_flash_attention(
     q: jax.Array,  # (B, S, H, D)
     k: jax.Array,
@@ -499,6 +521,7 @@ def pallas_flash_attention(
     block_k: int = 1024,
     interpret: bool = False,
     layout: str = "bshd",
+    static_valid_len: Optional[int] = None,
 ) -> jax.Array:
     """Flash attention; q and k/v sequence lengths may differ
     (cross-attention). Sequences are padded to block multiples internally;
@@ -507,7 +530,19 @@ def pallas_flash_attention(
 
     `layout="bhsd"` takes and returns head-major (B, H, S, D) tensors —
     the kernel's native block layout — skipping the boundary transposes
-    (used with ops/pallas_qkv_int8.fused_qkv_int8)."""
+    (used with ops/pallas_qkv_int8.fused_qkv_int8).
+
+    `static_valid_len` bakes the valid length into the compiled kernel:
+    the per-grid-step SMEM scalar read, valid-length compares, and the
+    DMA-redirect select fold to constants (measured 2.78 -> 2.47 ms/layer
+    at the flagship 9.7k prefill, tools_prefill_flash_ab2.py). When both
+    it and `kv_valid_len` are passed, the kernel uses the static value —
+    the caller must keep them consistent. With neither, the full `skv` is
+    baked in (every key valid). A concrete (non-tracer) `kv_valid_len`
+    with one distinct value — e.g. the single-clip pipeline's
+    `jnp.asarray([s])` built from a static shape at trace time — is
+    lifted to `static_valid_len` automatically; bucketed serving paths
+    pass traced lengths and keep the dynamic kernel."""
     if layout == "bhsd":
         b, h, sq, d = q.shape
         skv = k.shape[2]
@@ -518,7 +553,17 @@ def pallas_flash_attention(
         raise ValueError("causal flash attention requires equal q/kv lengths")
     scale = scale if scale is not None else d**-0.5
     if kv_valid_len is None:
-        kv_valid_len = jnp.full((b,), skv, jnp.int32)
-    kv_valid_len = kv_valid_len.astype(jnp.int32)
-    return _flash((causal, scale, block_q, block_k, interpret, layout),
-                  q, k, v, kv_valid_len)
+        if static_valid_len is None:
+            static_valid_len = skv
+        kv_valid_len = jnp.full((b,), static_valid_len, jnp.int32)
+    else:
+        kv_valid_len = jnp.asarray(kv_valid_len).astype(jnp.int32)
+        if static_valid_len is None and not isinstance(
+                kv_valid_len, jax.core.Tracer):
+            vals = np.asarray(kv_valid_len)
+            if vals.size and bool((vals == vals.flat[0]).all()):
+                static_valid_len = int(vals.flat[0])
+    return _pallas_flash_attention_jit(
+        q, k, v, kv_valid_len, causal=causal, scale=scale, block_q=block_q,
+        block_k=block_k, interpret=interpret, layout=layout,
+        static_valid_len=static_valid_len)

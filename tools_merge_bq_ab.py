@@ -24,9 +24,13 @@ pixels = jnp.asarray(rng.standard_normal((64, 384, 384, 3)), jnp.bfloat16)
 
 orig = pallas_flash.flash_attention_merge_heads
 
-for bq in (64, 128, 256):
+# (block_q, vmem_limit_bytes): bq > 192 needs the scoped-VMEM limit raised
+# past the 16 MB default (v5e has 128 MB physical VMEM; double-buffered
+# whole-axis K/V at head_dim 72 padded to 128 lanes dominates the budget).
+for bq, vmem in ((128, None), (192, None), (256, 32 << 20), (384, 48 << 20),
+                 (768, 64 << 20)):
     pallas_flash.flash_attention_merge_heads = functools.partial(
-        orig, block_q=bq)
+        orig, block_q=bq, vmem_limit_bytes=vmem)
     f = jax.jit(lambda p, px: vlm.encode_frames(p, cfg, px))
     out = f(params, pixels)
     jax.block_until_ready(out)
@@ -37,5 +41,6 @@ for bq in (64, 128, 256):
         r = f(params, px)
         _ = float(jnp.sum(r[..., :1].astype(jnp.float32)))
         best = min(best, time.perf_counter() - t0)
-    print(f"merge block_q={bq}: tower {best*1e3:.1f} ms", flush=True)
+    print(f"merge block_q={bq} vmem={vmem}: tower {best*1e3:.1f} ms",
+          flush=True)
 pallas_flash.flash_attention_merge_heads = orig
