@@ -8,6 +8,18 @@ the flagship video pipeline and re-checks them later:
       --model-path /path/to/ckpt --out goldens.json          # pin
   python -m memory_augmented_vlm_tpu.tools.pin_goldens \
       --model-path /path/to/ckpt --check goldens.json        # verify
+  python -m memory_augmented_vlm_tpu.tools.pin_goldens \
+      --from-reference [--out ref_goldens.json]              # REFERENCE oracle
+
+``--from-reference`` replaces the self-pinned oracle with the reference
+implementation itself: it instantiates the reference's torch
+``LlavaQwenForCausalLM`` (tiny width, exact flagship geometry — see
+eval/reference_oracle.py), converts its live weights into this repo's param
+pytree, computes every stage golden FROM THE REFERENCE TORCH SPINE
+(tower/pool via its own methods, memory bank via a forward hook on
+``memory_fuser`` during ``prepare_inputs_labels_for_multimodal``, logits via
+its ``forward``), then verifies this repo's spine against them at fp32
+tolerance. Exit code 1 on any mismatch.
 
 Stages pinned (the BASELINE.md invariants + SURVEY.md §3.1 spec):
   - tower features: shape + mean/std/first-8 values  (siglip_encoder.py:583)
@@ -44,8 +56,6 @@ def _stats(x) -> dict:
 
 def compute_goldens(model_path: str, num_frames: int = 64, seed: int = 0) -> dict:
     from memory_augmented_vlm_tpu.eval.builder import load_pretrained_model
-    from memory_augmented_vlm_tpu.models import memory as memory_mod
-    from memory_augmented_vlm_tpu.models import qwen2, vlm
 
     tokenizer, model, image_processor, context_len = load_pretrained_model(
         model_path, None, "llava_qwen")
@@ -56,6 +66,20 @@ def compute_goldens(model_path: str, num_frames: int = 64, seed: int = 0) -> dic
     frames = rng.integers(0, 255, (num_frames, size, size, 3), dtype=np.uint8)
     pixels = jnp.asarray(image_processor.preprocess(frames),
                          jnp.bfloat16 if cfg.lm.dtype == "bfloat16" else jnp.float32)
+    text_before = np.asarray([151644, 872, 198], np.int64)
+    text_after = np.asarray([3838, 374, 30, 151645, 198, 151644, 77091, 198],
+                            np.int64)
+    golden = _stage_goldens(params, cfg, pixels, text_before, text_after,
+                            num_frames)
+    golden.update({"num_frames": num_frames, "seed": seed})
+    return golden
+
+
+def _stage_goldens(params, cfg, pixels, text_before, text_after,
+                   num_frames: int) -> dict:
+    """Per-stage goldens through this repo's spine on given params/pixels."""
+    from memory_augmented_vlm_tpu.models import memory as memory_mod
+    from memory_augmented_vlm_tpu.models import qwen2, vlm
 
     tower = vlm.encoders_mod.tower_for(cfg)
     feats_raw = tower.forward(params["vision_tower"], pixels)
@@ -74,14 +98,21 @@ def compute_goldens(model_path: str, num_frames: int = 64, seed: int = 0) -> dic
         params, cfg, frames_padded, jnp.arange(fpad), valid, fine_idx,
         nseg=nseg)
 
+    # the spine applies temporal PE before the memory scan
+    # (llava_arch.py:510-511 then :530-545); the standalone memory-bank
+    # golden must see the same input or it pins a value the pipeline never
+    # computes (caught by the --from-reference oracle)
+    from memory_augmented_vlm_tpu.models.position_encoding import (
+        add_temporal_pe,
+    )
+
     mem_state = memory_mod.run_video(
         params["memory"]["recurrent_memory_transformer"], cfg.memory,
-        frames_padded, valid)
+        add_temporal_pe(params["positional_encoding"], frames_padded,
+                        jnp.arange(fpad)),
+        valid)
     memory_bank = mem_state.cache[: int(mem_state.cache_len)]
 
-    text_before = np.asarray([151644, 872, 198], np.int64)
-    text_after = np.asarray([3838, 374, 30, 151645, 198, 151644, 77091, 198],
-                            np.int64)
     embeds = vlm.splice_image_embeds(
         params, jnp.asarray(text_before, jnp.int32), visual,
         jnp.asarray(text_after, jnp.int32))
@@ -102,8 +133,6 @@ def compute_goldens(model_path: str, num_frames: int = 64, seed: int = 0) -> dic
     expected_visual = (10 + nseg * cfg.memory.num_memory_tokens * p + 1
                        + 9 + nfine * p + 1)
     golden = {
-        "num_frames": num_frames,
-        "seed": seed,
         "tower_features": _stats(feats_raw),
         "pooled_tokens": _stats(pooled),
         "visual_embeds": _stats(visual),
@@ -119,6 +148,89 @@ def compute_goldens(model_path: str, num_frames: int = 64, seed: int = 0) -> dic
     if memory_bank is not None:
         golden["memory_bank"] = _stats(memory_bank)
     return golden
+
+
+def compute_goldens_from_reference(num_frames: int = 8, seed: int = 0):
+    """Reference-oracle mode: stage goldens computed BY the reference torch
+    implementation, plus this repo's goldens on the converted weights.
+
+    Returns (reference_golden, repo_golden) — both over identical weights
+    and pixels, so ``check_goldens(repo, reference, rtol=1e-3)`` pins the
+    repo spine against reference-computed output (VERDICT round-4 weak #7).
+    """
+    import torch
+
+    from memory_augmented_vlm_tpu.eval import reference_oracle as ro
+    from memory_augmented_vlm_tpu.models import qwen2
+
+    geom = ro.TinyGeometry()
+    model = ro.build_reference_model(geom, seed=0)
+    cfg = ro.repo_config_for(geom)
+    params = ro.reference_state_to_params(model, cfg)
+
+    rng = np.random.default_rng(seed)
+    size = cfg.vision.image_size
+    pixels = rng.standard_normal(
+        (num_frames, size, size, 3)).astype(np.float32)
+    # small ids: the tiny vocab holds the visual prompt ids (<=48876) but
+    # not the full ChatML ids
+    text_before = np.asarray([11, 22, 33], np.int64)
+    text_after = np.asarray([44, 55, 66, 77], np.int64)
+
+    video_chw = torch.asarray(pixels.transpose(0, 3, 1, 2))
+    ref_model = model.get_model()
+    with torch.no_grad():
+        feats_raw = ref_model.get_vision_tower()(video_chw)
+        pooled = model.get_2dPool(model.encode_images(video_chw))
+
+    from memory_augmented_vlm_tpu import constants
+
+    input_ids = np.concatenate([
+        text_before, [constants.IMAGE_TOKEN_INDEX], text_after])
+    spliced = ro.reference_spliced_embeds(model, video_chw, input_ids)
+    # raw memory bank left on the module by the spine run (the reference
+    # keeps the per-video cache as mutable module state,
+    # MemoryController.py:152-154; repo equivalent: run_video's carried
+    # cache array)
+    bank_list = ref_model.recurrent_memory_transformer.memory_cache
+
+    with torch.no_grad():
+        out = model(inputs_embeds=torch.asarray(spliced)[None],
+                    use_cache=False)
+    logits = np.asarray(out.logits[0, -1].float())
+    top8 = np.argsort(logits)[::-1][:8]
+
+    nvis = spliced.shape[0] - len(text_before) - len(text_after)
+    nseg = max(-(-num_frames // cfg.memory.segment_frames), 1)
+    p = cfg.memory.patch_size
+    nfine = min(num_frames, cfg.memory.num_fine_frames)
+    bank = torch.stack([b.detach() for b in bank_list]).float().numpy()
+    reference_golden = {
+        "num_frames": num_frames,
+        "seed": seed,
+        "oracle": "reference (llava_arch.py:388-878, torch)",
+        "tower_features": _stats(feats_raw),
+        "pooled_tokens": _stats(pooled),
+        "visual_embeds": _stats(
+            spliced[len(text_before):len(text_before) + nvis]),
+        "visual_token_count": int(nvis),
+        "expected_visual_token_count": int(
+            10 + nseg * cfg.memory.num_memory_tokens * p + 1 + 9
+            + nfine * p + 1),
+        "spliced_length": int(spliced.shape[0]),
+        "first_token": {
+            "argmax": int(top8[0]),
+            "top8_ids": [int(i) for i in top8],
+            "top8_logits": [float(logits[i]) for i in top8],
+        },
+        "memory_bank": _stats(bank),
+    }
+
+    repo_golden = _stage_goldens(
+        params, cfg, jnp.asarray(pixels, jnp.float32), text_before,
+        text_after, num_frames)
+    repo_golden.update({"num_frames": num_frames, "seed": seed})
+    return reference_golden, repo_golden
 
 
 def check_goldens(got: dict, want: dict, rtol: float = 2e-2) -> list:
@@ -145,6 +257,10 @@ def check_goldens(got: dict, want: dict, rtol: float = 2e-2) -> list:
         for field in ("mean", "std"):
             if not close(g[field], w[field]):
                 errs.append(f"{stage}.{field}: {g[field]} != {w[field]}")
+        for j, (gv, wv) in enumerate(zip(g.get("first8", ()),
+                                         w.get("first8", ()))):
+            if not close(gv, wv):
+                errs.append(f"{stage}.first8[{j}]: {gv} != {wv}")
     if got["first_token"]["argmax"] != want["first_token"]["argmax"]:
         errs.append(f"first_token.argmax: {got['first_token']['argmax']} != "
                     f"{want['first_token']['argmax']}")
@@ -153,7 +269,13 @@ def check_goldens(got: dict, want: dict, rtol: float = 2e-2) -> list:
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--model-path", required=True)
+    p.add_argument("--model-path",
+                   help="checkpoint dir (self-pinned drift mode); not "
+                   "needed with --from-reference")
+    p.add_argument("--from-reference", action="store_true",
+                   help="use the reference torch implementation itself as "
+                   "the oracle (tiny-width geometry-preserving model from "
+                   "/root/reference; fp32 tolerance)")
     p.add_argument("--num-frames", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", help="write goldens to this JSON file")
@@ -161,6 +283,30 @@ def main(argv=None):
     p.add_argument("--rtol", type=float, default=2e-2)
     args = p.parse_args(argv)
 
+    if args.from_reference:
+        # fp32 CPU-vs-CPU comparison by construction (the torch oracle is
+        # CPU; running the repo side through the TPU relay would change the
+        # numerics class AND pay the relay's dispatch floor per stage)
+        jax.config.update("jax_platforms", "cpu")
+        nframes = args.num_frames if args.num_frames != 64 else 8
+        want, golden = compute_goldens_from_reference(nframes, args.seed)
+        rtol = args.rtol if args.rtol != 2e-2 else 1e-3  # fp32 CPU vs CPU
+        errs = check_goldens(golden, want, rtol)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(want, f, indent=2)
+            print(f"pinned REFERENCE goldens -> {args.out}")
+        if errs:
+            print("REFERENCE GOLDEN MISMATCH:")
+            for e in errs:
+                print("  " + e)
+            return 1
+        print(f"repo spine matches the reference oracle "
+              f"({nframes} frames, rtol {rtol})")
+        return 0
+
+    if not args.model_path:
+        p.error("--model-path is required without --from-reference")
     golden = compute_goldens(args.model_path, args.num_frames, args.seed)
     if args.out:
         with open(args.out, "w") as f:
