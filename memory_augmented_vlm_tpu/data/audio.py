@@ -13,8 +13,11 @@ numpy to the same algorithm (Kaldi semantics: DC removal, 0.97 preemphasis
 with edge-replicated first sample, per-frame hanning window, zero-pad to the
 next power of two for the FFT, triangular mel banks on the 1127*ln(1+f/700)
 scale between 20 Hz and Nyquist, log with eps floor). tests/test_audio.py
-pins the numerics via analytic properties (tone peak placement, frame
-geometry, clip timepoints) since no torchaudio oracle exists offline.
+pins the numerics three ways: analytic properties (tone peak placement,
+frame geometry, clip timepoints), frozen golden vectors, and an
+INDEPENDENTLY-CONSTRUCTED second implementation of the same Kaldi spec
+(scipy window/fft + np.interp mel triangles, `_oracle_fbank`) that agrees
+to 1e-6 — so a bug would have to be made twice, by different code, to pass.
 """
 
 from __future__ import annotations

@@ -19,6 +19,71 @@ def _tone(freq, duration_s=2.0, sr=16000, amp=0.1):
     return amp * np.sin(2 * np.pi * freq * t)
 
 
+# ---------------------------------------------------------------------------
+# Independent fbank oracle (round-5: cross-check, not just self-pinning)
+# ---------------------------------------------------------------------------
+
+def _oracle_fbank(waveform, sr=16000, num_bins=128):
+    """Second, independently constructed Kaldi fbank (htk_compat, hanning,
+    dither=0, snip_edges): scipy window + sliding_window_view framing +
+    scipy rfft + mel triangles via np.interp in mel space. Shares no code
+    path with data/audio.kaldi_fbank — agreement means both implement the
+    torchaudio.compliance.kaldi spec, decorrelating implementation bugs."""
+    from numpy.lib.stride_tricks import sliding_window_view
+    from scipy.fft import rfft
+    from scipy.signal import get_window
+
+    x = np.asarray(waveform, np.float64).reshape(-1)
+    ws, shift = int(sr * 0.025), int(sr * 0.010)
+    if x.shape[0] < ws:
+        return np.zeros((0, num_bins), np.float32)
+    frames = sliding_window_view(x, ws)[::shift].copy()
+    frames -= frames.mean(axis=1, keepdims=True)
+    # preemphasis with edge-replicated first sample, per frame
+    pre = np.empty_like(frames)
+    pre[:, 0] = frames[:, 0] - 0.97 * frames[:, 0]
+    pre[:, 1:] = frames[:, 1:] - 0.97 * frames[:, :-1]
+    pre *= get_window("hann", ws, fftbins=False)
+
+    nfft = 1 << (ws - 1).bit_length()
+    power = np.abs(rfft(pre, n=nfft, axis=1)) ** 2
+
+    def hz_to_mel(f):
+        return 1127.0 * np.log(1.0 + np.asarray(f, np.float64) / 700.0)
+
+    # triangle weights: piecewise-linear in MEL, built with np.interp per bin
+    mel_edges = np.linspace(hz_to_mel(20.0), hz_to_mel(sr / 2.0),
+                            num_bins + 2)
+    bin_mels = hz_to_mel(np.arange(nfft // 2 + 1) * sr / nfft)
+    banks = np.stack([
+        np.interp(bin_mels, mel_edges[i:i + 3], [0.0, 1.0, 0.0],
+                  left=0.0, right=0.0)
+        for i in range(num_bins)])
+    banks[:, nfft // 2] = 0.0  # Kaldi covers only the first nfft/2 bins
+    mel_energy = power @ banks.T
+    return np.log(np.maximum(
+        mel_energy, np.finfo(np.float64).eps)).astype(np.float32)
+
+
+@pytest.mark.parametrize("name", ["noise", "chirp", "tone", "speechlike"])
+def test_fbank_matches_independent_oracle(name):
+    sr = audio.SAMPLE_RATE
+    rng = np.random.default_rng(42)
+    t = np.arange(2 * sr) / sr
+    wav = {
+        "noise": 0.1 * rng.standard_normal(2 * sr),
+        "chirp": 0.3 * np.sin(2 * np.pi * (200 + 1800 * t) * t),
+        "tone": _tone(440),
+        "speechlike": (0.2 * np.sin(2 * np.pi * 120 * t)
+                       * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))
+                       + 0.02 * rng.standard_normal(2 * sr)),
+    }[name]
+    ours = audio.kaldi_fbank(wav, sr)
+    oracle = _oracle_fbank(wav, sr)
+    assert ours.shape == oracle.shape == (198, 128)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-6, atol=1e-6)
+
+
 def test_fbank_frame_geometry():
     # 2 s @ 16 kHz, 25 ms window / 10 ms shift, snip_edges:
     # 1 + (32000 - 400) // 160 = 198 frames
