@@ -6,6 +6,14 @@ with the timing hygiene from PERFORMANCE.md: value-fetch to force execution
 and a distinct batch per timed iteration (the relay caches identical calls).
 
 Usage: python bench_train.py [--impl intree|ours|xla] [--iters 3]
+                             [--frames 64]
+
+`--frames 300` reproduces finetune_short.sh's `frames_upbound 300`
+long-video training shape: 300 frames pad to 10 x 32-frame segments (=
+the ring-cache cap, so the sliding-window/overflow path is the one being
+timed); >320 frames overflow the cap and the memory stream clamps at 10
+segments (gradient semantics pinned vs the reference module in
+tests/test_long_video_train.py).
 
 Prints one JSON line with the same contract as bench.py:
 {"metric", "value", "unit", "vs_baseline", "detail"}. The baseline is the
@@ -38,28 +46,35 @@ NUM_FINE = 32
 ST = 128
 
 
-def baseline_train_step_s() -> float:
+def baseline_train_step_s(num_frames: int = NUM_FRAMES) -> float:
     """Analytic A100 train-step time for the same geometry (see module
     docstring; constants match bench.py's inference baseline model)."""
-    s_tokens = 1568 * 2 + 196 * 32 + 36  # 2 segments + 32 fine + prompts
-    tower_tf = 0.81 * NUM_FRAMES                   # frozen: forward only
+    nseg = min(-(-num_frames // 32), 10)  # ring cache caps at 10
+    s_tokens = 1568 * nseg + 196 * min(32, num_frames) + 36
+    tower_tf = 0.81 * num_frames                   # frozen: forward only
     lm_matmul_tf = 3 * 2 * 0.5e9 * s_tokens / 1e12  # fwd + bwd (2x fwd)
     # causal attention fwd+bwd: 2 matmuls * S^2 * D * NH / 2, x3.5 for bwd
     attn_tf = 3.5 * 2 * (s_tokens ** 2) * 64 * 14 * 0.5 * 24 / 1e12
     return (tower_tf + lm_matmul_tf + attn_tf) / (312.0 * 0.35)
 
 
-def make_batch(rng, cfg):
-    pixels = rng.standard_normal((1, NUM_FRAMES, 384, 384, 3)).astype(np.float32)
+def make_batch(rng, cfg, num_frames: int = NUM_FRAMES):
+    fmax = vlm.pad_frames_to_segment_multiple(
+        num_frames, cfg.memory.segment_frames)
+    pixels = rng.standard_normal((1, num_frames, 384, 384, 3)).astype(np.float32)
+    if fmax != num_frames:  # pad to whole segments with a validity mask
+        pixels = np.concatenate(
+            [pixels, np.zeros((1, fmax - num_frames, 384, 384, 3),
+                              pixels.dtype)], axis=1)
     ids = rng.integers(5, 1000, size=(1, ST))
     labels = ids.copy()
     labels[:, :8] = constants.IGNORE_INDEX
     return trainer.TrainBatch(
         pixels=jnp.asarray(pixels, jnp.bfloat16),
-        frame_indices=jnp.broadcast_to(jnp.arange(NUM_FRAMES)[None], (1, NUM_FRAMES)),
-        frame_valid=jnp.ones((1, NUM_FRAMES), bool),
+        frame_indices=jnp.broadcast_to(jnp.arange(fmax)[None], (1, fmax)),
+        frame_valid=jnp.asarray((np.arange(fmax) < num_frames)[None]),
         fine_idx=jnp.asarray(
-            vlm.fine_frame_indices(NUM_FRAMES, NUM_FINE), jnp.int32)[None],
+            vlm.fine_frame_indices(num_frames, NUM_FINE), jnp.int32)[None],
         input_ids=jnp.asarray(ids, jnp.int32),
         labels=jnp.asarray(labels, jnp.int32),
         image_pos=jnp.asarray([3], jnp.int32),
@@ -72,6 +87,7 @@ def main():
     ap.add_argument("--impl", default="default",
                     choices=["default", "intree", "ours", "xla"])
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=NUM_FRAMES)
     args = ap.parse_args()
 
     if args.impl != "default":
@@ -84,26 +100,31 @@ def main():
         learning_rate=1e-5, memory_transformer_lr=5e-5, memory_key_value_lr=5e-5,
         mm_vision_tower_lr=None, total_steps=100, warmup_ratio=0.03)
     state = trainer.init_train_state(params, opt_cfg)
-    step_fn = jax.jit(trainer.make_train_step(cfg, opt_cfg, nseg=2), donate_argnums=0)
+    fmax = vlm.pad_frames_to_segment_multiple(
+        args.frames, cfg.memory.segment_frames)
+    nseg = min(fmax // cfg.memory.segment_frames, cfg.memory.cache_cap)
+    step_fn = jax.jit(trainer.make_train_step(cfg, opt_cfg, nseg=nseg),
+                      donate_argnums=0)
 
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
-    state, metrics = step_fn(state, make_batch(rng, cfg))
+    state, metrics = step_fn(state, make_batch(rng, cfg, args.frames))
     loss0 = float(metrics["loss"])  # value fetch forces execution
     compile_s = time.perf_counter() - t0
 
     times = []
     for _ in range(args.iters):
-        batch = make_batch(rng, cfg)  # distinct batch: relay caches identical calls
+        # distinct batch: relay caches identical calls
+        batch = make_batch(rng, cfg, args.frames)
         t0 = time.perf_counter()
         state, metrics = step_fn(state, batch)
         loss = float(metrics["loss"])
         times.append(time.perf_counter() - t0)
     step_s = min(times)
 
-    baseline_s = baseline_train_step_s()
+    baseline_s = baseline_train_step_s(args.frames)
     print(json.dumps({
-        "metric": "train_step_s_0.5b_64frame",
+        "metric": f"train_step_s_0.5b_{args.frames}frame",
         "value": round(step_s, 3),
         "unit": "s/step",
         # throughput ratio (baseline time / ours), same orientation as
@@ -111,6 +132,8 @@ def main():
         "vs_baseline": round(baseline_s / step_s, 3),
         "impl": args.impl,
         "detail": {
+            "frames": args.frames,
+            "segments": nseg,
             "all_times": [round(t, 3) for t in times],
             "compile_s": round(compile_s, 1),
             "loss_first": round(loss0, 3),

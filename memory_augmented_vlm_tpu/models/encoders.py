@@ -140,7 +140,8 @@ def _import_siglip(sd, cfg):
 
 
 # Architectures the `hf:` generic path (hf_vision.py) can serve with a
-# native TPU implementation. Anything else raises with the list.
+# native TPU implementation. Anything else falls back to the host torch
+# bridge (models/hf_bridge.py) — any-architecture compatibility, slow path.
 _HF_ARCH_DISPATCH = {
     "SiglipVisionModel": "siglip",
     "SiglipModel": "siglip",
@@ -153,37 +154,43 @@ _HF_ARCH_DISPATCH = {
 def _hf_generic_tower(hub_name: str, vision_config: Any, *,
                       int8: bool = False) -> VisionTower:
     """`hf:` prefix (hf_vision.py:1-111): resolve the checkpoint's vision
-    architecture and dispatch onto the matching native tower.
+    architecture and dispatch onto the matching native tower; architectures
+    with no native tower load through the host torch bridge
+    (models/hf_bridge.py), mirroring the reference's wrap-anything
+    AutoModel semantics.
 
-    Resolution order: explicit `vision_config` type, a local config.json at
-    the path, else the name heuristics.
+    Resolution order: the checkpoint's own config.json `architectures`
+    (ground truth when the path is local — the spine always passes the
+    generic VisionConfig, which must not force SigLIP over what the
+    checkpoint says), then the explicit `vision_config` type, else the
+    name heuristics.
     """
     from memory_augmented_vlm_tpu.models import mlcd as mlcd_mod
 
     arch = None
-    if vision_config is not None:
+    import json
+    import os
+
+    cfg_path = os.path.join(hub_name, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            raw = json.load(f)
+        archs = raw.get("architectures") or []
+        for a in archs:
+            if a in _HF_ARCH_DISPATCH:
+                arch = _HF_ARCH_DISPATCH[a]
+                break
+        if arch is None and archs:
+            # no native tower for this architecture: host torch bridge
+            from memory_augmented_vlm_tpu.models import hf_bridge
+
+            return hf_bridge.build_tower(hub_name)
+    if arch is None and vision_config is not None:
         arch = {
             VisionConfig: "siglip",
             clip_mod.CLIPVisionConfig: "clip",
             mlcd_mod.MLCDVisionConfig: "mlcd",
         }.get(type(vision_config))
-    if arch is None:
-        import json
-        import os
-
-        cfg_path = os.path.join(hub_name, "config.json")
-        if os.path.exists(cfg_path):
-            with open(cfg_path) as f:
-                raw = json.load(f)
-            archs = raw.get("architectures") or []
-            for a in archs:
-                if a in _HF_ARCH_DISPATCH:
-                    arch = _HF_ARCH_DISPATCH[a]
-                    break
-            if arch is None and archs:
-                raise ValueError(
-                    f"hf:{hub_name}: architecture {archs} has no native TPU "
-                    f"tower; supported: {sorted(set(_HF_ARCH_DISPATCH))}")
     if arch is None:
         lname = hub_name.lower()
         if "siglip" in lname:
@@ -193,9 +200,15 @@ def _hf_generic_tower(hub_name: str, vision_config: Any, *,
         elif "clip" in lname:
             arch = "clip"
         else:
-            raise ValueError(
-                f"hf:{hub_name}: cannot resolve a native TPU tower from the "
-                f"name; supported architectures: {sorted(set(_HF_ARCH_DISPATCH))}")
+            from memory_augmented_vlm_tpu.models import hf_bridge
+
+            try:
+                return hf_bridge.build_tower(hub_name)
+            except Exception as e:
+                raise ValueError(
+                    f"hf:{hub_name}: no native TPU tower matches the name "
+                    f"(native: {sorted(set(_HF_ARCH_DISPATCH))}) and the "
+                    f"torch bridge could not load it: {e}") from e
     return build_vision_tower(arch, vision_config=vision_config, int8=int8)
 
 
