@@ -1,7 +1,10 @@
-"""Single-image QA tutorial — the docs/image_tutorial.py equivalent
-(BASELINE config #1): anyres preprocessing + OneVision splice.
+"""OneVision trial tutorial (reference docs/onevision_trial.py:1-116):
+single-image QA twice — once with the blocking ``generate`` API, once
+streaming chunks as they decode (the reference's second half spins a
+``TextIteratorStreamer`` thread; here ``vlm.generate_stream`` yields from
+inside the jitted chunked decode, no thread needed).
 
-  python docs/image_tutorial.py --model-path <ckpt> --image photo.jpg
+  python docs/onevision_trial.py --model-path <ckpt> --image photo.jpg
 """
 
 import os
@@ -30,8 +33,9 @@ def main():
     p.add_argument("--max-new-tokens", type=int, default=256)
     args = p.parse_args()
 
-    tokenizer, model, image_processor, _ = load_pretrained_model(
+    tokenizer, model, image_processor, context_len = load_pretrained_model(
         args.model_path, None, "llava_qwen")
+    eos = (tokenizer.convert_tokens_to_ids("<|im_end|>"),)
 
     conv = conv_templates["qwen_1_5"].copy()
     conv.append_message(conv.roles[0], "<image>\n" + args.question)
@@ -41,12 +45,24 @@ def main():
     embeds = image_qa_embeds(model.params, model.cfg,
                              Image.open(args.image), ids,
                              image_processor=image_processor)
-    out = vlm.generate(
-        model.params, model.cfg, embeds,
-        max_new_tokens=args.max_new_tokens,
-        eos_token_ids=(tokenizer.convert_tokens_to_ids("<|im_end|>"),))
+
+    # cap new tokens by the remaining context, like the reference (:79-81)
+    max_new = min(args.max_new_tokens, context_len - embeds.shape[0])
+
+    # 1) blocking generate
+    out = vlm.generate(model.params, model.cfg, embeds,
+                       max_new_tokens=max_new, eos_token_ids=eos)
     n = int(out.num_tokens)
     print(tokenizer.decode(out.tokens[:n], skip_special_tokens=True))
+
+    # 2) streaming: chunks arrive while the decode loop is still running
+    print("--- streaming ---")
+    for chunk in vlm.generate_stream(model.params, model.cfg, embeds,
+                                     max_new_tokens=max_new,
+                                     eos_token_ids=eos):
+        print(tokenizer.decode(chunk, skip_special_tokens=True),
+              end="", flush=True)
+    print()
 
 
 if __name__ == "__main__":

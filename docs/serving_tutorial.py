@@ -12,6 +12,13 @@ For the full worker protocol (controller registration, \\0-JSON streaming)
 see serve/sglang_worker.py; this tutorial drives the engine directly.
 """
 
+import os
+import sys
+
+# runnable as `python docs/<name>.py` from anywhere: the package
+# imports from the repo root, not the script dir
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import threading
 

@@ -6,6 +6,13 @@ build the memory-augmented multimodal sequence, generate an answer.
   python docs/video_tutorial.py --model-path <ckpt> --video <clip|.npy|framedir>
 """
 
+import os
+import sys
+
+# runnable as `python docs/<name>.py` from anywhere: the package
+# imports from the repo root, not the script dir
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 from memory_augmented_vlm_tpu.data.conversation import conv_templates
