@@ -68,7 +68,8 @@ def baseline_visual_tokens_per_s(num_frames: int, model: str = "0.5b",
 
 
 def build_pipeline(cfg: VLMConfig, num_frames: int = NUM_FRAMES,
-                   no_memory: bool = False, kv_int8: bool = False):
+                   no_memory: bool = False, kv_int8: bool = False,
+                   return_prefill_logits: bool = False):
     # frames pad to the 32-frame segment multiple with a validity mask, the
     # same contract as vlm.video_qa_embeds (16-frame short clips run one
     # partially-valid segment)
@@ -128,6 +129,10 @@ def build_pipeline(cfg: VLMConfig, num_frames: int = NUM_FRAMES,
             return (logits, cache), tok
 
         (_, _), tokens = jax.lax.scan(body, (logits, cache), None, length=MAX_NEW_TOKENS)
+        if return_prefill_logits:
+            # multichip dryruns compare layouts on pre-argmax logits when a
+            # greedy token diverges (fp-tie diagnosis, not a sharding bug)
+            return tokens, s, logits
         return tokens, s
 
     return clip_to_answer, nseg

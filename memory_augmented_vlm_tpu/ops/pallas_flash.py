@@ -267,21 +267,28 @@ def _flash_merge_kernel(
     valid_len = valid_len_ref[b]
     col = jax.lax.broadcasted_iota(jnp.int32, s_scr.shape, 1)
     key_mask = col < valid_len
+    # VPU economics (round 5, PERFORMANCE.md): the softmax scale rides on the
+    # (BQ, D) q tile instead of the (BQ, BK) score matrix (10x fewer mults),
+    # log2(e) folds into that same scale so the transcendental is the
+    # VPU-native exp2 (p_i = 2^(s_i - m) over log2-scaled scores is the same
+    # softmax), and the (BQ, BK) division p/l becomes a (BQ, D) multiply by
+    # 1/l folded into the output tile.
+    c = sm_scale * 1.4426950408889634  # log2(e)
     for h in range(nh):
-        q = q_ref[0, h]  # (BQ, D)
+        q = (q_ref[0, h].astype(jnp.float32) * c).astype(q_ref.dtype)  # (BQ, D)
         k = k_ref[0, h]  # (BK, D)
         s_scr[...] = jnp.where(key_mask, jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale, MASK_VALUE)
+        ), MASK_VALUE)
         s = s_scr[...]
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
-        p_scr[...] = (p / l).astype(p_scr.dtype)
+        p_scr[...] = p.astype(p_scr.dtype)  # unnormalized; values in (0, 1]
         o = jax.lax.dot(
             p_scr[...], v_ref[0, h],
             preferred_element_type=jnp.float32)
-        o_ref[0, :, h * hd:(h + 1) * hd] = o.astype(o_ref.dtype)
+        o_ref[0, :, h * hd:(h + 1) * hd] = (o * (1.0 / l)).astype(o_ref.dtype)
 
 
 def flash_attention_merge_heads(
@@ -360,18 +367,20 @@ def _flash_merge_oproj_kernel(
     valid_len = valid_len_ref[b]
     col = jax.lax.broadcasted_iota(jnp.int32, s_scr.shape, 1)
     key_mask = col < valid_len
+    c = sm_scale * 1.4426950408889634  # base-2 softmax; see _flash_merge_kernel
     for h in range(nh):
+        qh = (q_ref[0, h].astype(jnp.float32) * c).astype(q_ref.dtype)
         s_scr[...] = jnp.where(key_mask, jax.lax.dot_general(
-            q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale, MASK_VALUE)
+            qh, k_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32), MASK_VALUE)
         s = s_scr[...]
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
-        p_scr[...] = (p / l).astype(p_scr.dtype)
+        p_scr[...] = p.astype(p_scr.dtype)
         o = jax.lax.dot(
             p_scr[...], v_ref[0, h], preferred_element_type=jnp.float32)
-        a_scr[:, h * hd:(h + 1) * hd] = o.astype(a_scr.dtype)
+        a_scr[:, h * hd:(h + 1) * hd] = (o * (1.0 / l)).astype(a_scr.dtype)
     # int8 out-projection + residual, same row-quant math as
     # ops/quant.int8_linear (per-row scale over the full NH*D row)
     x = a_scr[...].astype(jnp.float32)
