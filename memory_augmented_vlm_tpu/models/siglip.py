@@ -116,7 +116,7 @@ def embed_patches(params, cfg: VisionConfig, pixel_values: jax.Array) -> jax.Arr
 
 def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
             remat: bool = False, int8: bool = False,
-            fused_mlp: bool = False, fused_qkv: bool = True,
+            fused_mlp: bool = True, fused_qkv: bool = True,
             fused_oproj: bool = False, use_flash=None,
             _interpret: bool = False) -> jax.Array:
     """Vision tower forward: (B, H, W, C) pixels -> (B, 729, 1152) features.
@@ -245,11 +245,11 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
                 and b * s >= 256 and fused_mlp:
             # whole MLP half-block in one Pallas pass (layernorm + quant +
             # fc1 + gelu + requant + fc2 + residual) on the int8 MXU
-            # (ops/pallas_mlp_int8.py). Wins the standalone microbench
-            # (3.6 vs 5.7 ms) but measures as a WASH in-context (the XLA
-            # int8 chain overlaps to ~4.0 ms/layer inside the full tower
-            # graph, ablated in PERFORMANCE.md round 3) — so the default
-            # stays off; the kernel remains available for A/B runs.
+            # (ops/pallas_mlp_int8.py). The round-3 "wash" verdict
+            # (4.2 vs 4.0 ms/layer) was an artifact of block_m=128 under the
+            # 16 MB scoped-VMEM default; at block_m=384 with the limit
+            # raised it wins in-context — 242.2 vs 250.1 ms tower
+            # (tools_mlp_vmem_ab.py, round 5) — so the default is ON.
             from memory_augmented_vlm_tpu.ops.pallas_mlp_int8 import (
                 fused_mlp_block_int8,
             )
@@ -259,7 +259,8 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
                 lp["layer_norm2"]["weight"], lp["layer_norm2"]["bias"],
                 lp["fc1"]["kernel_int8"], lp["fc1"]["scale"], lp["fc1"]["bias"],
                 lp["fc2"]["kernel_int8"], lp["fc2"]["scale"], lp["fc2"]["bias"],
-                eps=cfg.layer_norm_eps,
+                eps=cfg.layer_norm_eps, block_m=384,
+                vmem_limit_bytes=48 << 20,
             ).reshape(b, s, h)
         else:
             residual = hidden

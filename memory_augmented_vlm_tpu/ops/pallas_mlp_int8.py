@@ -122,7 +122,8 @@ def _fused_block_kernel(hid_ref, lnw_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
     out_ref[...] = (hid + mlp).astype(out_ref.dtype)       # residual add
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "block_m", "interpret"))
+@functools.partial(jax.jit, static_argnames=("eps", "block_m",
+                                             "vmem_limit_bytes", "interpret"))
 def fused_mlp_block_int8(
     hidden: jax.Array,   # (M, K) bf16/f32 — PRE-layernorm residual stream
     ln_w: jax.Array,     # (K,)
@@ -133,8 +134,10 @@ def fused_mlp_block_int8(
     s2: jax.Array, b2: jax.Array,
     *,
     eps: float = 1e-6,
-    block_m: int = 128,   # 256 exceeds the 16 MB VMEM budget beside the
-                          # resident W1+W2 (~10 MB) at tower shapes
+    block_m: int = 128,   # 256+ needs vmem_limit_bytes raised past the 16 MB
+                          # scoped default beside the resident W1+W2 (~10 MB)
+                          # at tower shapes (v5e has 128 MB physical VMEM)
+    vmem_limit_bytes: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """The whole transformer MLP half-block in one kernel:
@@ -168,6 +171,7 @@ def fused_mlp_block_int8(
         out_shape=jax.ShapeDtypeStruct((mp, k), hidden.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit_bytes,
         ),
         interpret=interpret,
     )(hp,
