@@ -56,10 +56,25 @@ def import_reference_llava(root: str = REFERENCE_ROOT):
                 sys.modules["llava.model.language_model.llava_qwen"])
 
     for name, path in _NAMESPACE_PACKAGES:
-        if name not in sys.modules:
+        pkg = sys.modules.get(name)
+        if pkg is None:
             pkg = types.ModuleType(name)
-            pkg.__path__ = [root + path]
             sys.modules[name] = pkg
+        # other tests install lightweight `llava` stubs (e.g. the eva_clip
+        # oracle stubs `llava.utils` for rank0_print) without a __path__;
+        # upgrade them in place so submodule imports resolve against the
+        # reference tree regardless of test ordering
+        if root + path not in getattr(pkg, "__path__", []):
+            pkg.__path__ = list(getattr(pkg, "__path__", [])) + [root + path]
+    # evict any non-reference llava.* stub (other tests install e.g. a
+    # one-function llava.utils for the eva_clip oracle); the real module
+    # then loads from the reference tree on demand
+    for name, mod in list(sys.modules.items()):
+        if (name.startswith("llava.") and mod is not None
+                and "qformer" not in name
+                and not getattr(mod, "__path__", None)
+                and not str(getattr(mod, "__file__", "") or "").startswith(root)):
+            del sys.modules[name]
 
     # The vendored BERT Q-Former targets transformers<4.30
     # (apply_chunking_to_forward); it is dormant on the active path
