@@ -69,7 +69,9 @@ def baseline_visual_tokens_per_s(num_frames: int, model: str = "0.5b",
 
 def build_pipeline(cfg: VLMConfig, num_frames: int = NUM_FRAMES,
                    no_memory: bool = False, kv_int8: bool = False,
-                   return_prefill_logits: bool = False):
+                   return_prefill_logits: bool = False,
+                   max_new_tokens: int = MAX_NEW_TOKENS,
+                   sample_temperature: float = 0.0):
     # frames pad to the 32-frame segment multiple with a validity mask, the
     # same contract as vlm.video_qa_embeds (16-frame short clips run one
     # partially-valid segment)
@@ -108,7 +110,7 @@ def build_pipeline(cfg: VLMConfig, num_frames: int = NUM_FRAMES,
         hidden, cache = qwen2.forward(
             params["language_model"], cfg.lm, padded,
             jnp.broadcast_to(jnp.arange(smax)[None], (1, smax)),
-            valid_len=valid, cache_max_len=smax + MAX_NEW_TOKENS,
+            valid_len=valid, cache_max_len=smax + max_new_tokens,
             # the spliced length is a static shape here, so the prefill
             # flash kernel can fold its valid-length scalar work away
             static_valid_len=s,
@@ -120,15 +122,25 @@ def build_pipeline(cfg: VLMConfig, num_frames: int = NUM_FRAMES,
             # 9.7k-token context cache rivals the weight stream at 0.5B)
             cache = qwen2.quantize_cache(cache)
 
-        def body(carry, _):
+        def body(carry, step_key):
             logits, cache = carry
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if sample_temperature > 0.0:
+                # Gumbel-max sampling with a per-step key: two configs run
+                # with IDENTICAL noise, so token agreement isolates the
+                # quantization logit drift (tools_int8_qualify.py --sampled)
+                g = jax.random.gumbel(step_key, logits.shape, jnp.float32)
+                tok = jnp.argmax(
+                    logits.astype(jnp.float32) / sample_temperature + g,
+                    axis=-1).astype(jnp.int32)
+            else:
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             emb = qwen2.embed_tokens(params["language_model"], tok[:, None], cfg.lm).astype(padded.dtype)
             hidden, cache = qwen2.decode_step(params["language_model"], cfg.lm, emb, cache)
             logits = qwen2.unembed(params["language_model"], cfg.lm, hidden)[:, 0]
             return (logits, cache), tok
 
-        (_, _), tokens = jax.lax.scan(body, (logits, cache), None, length=MAX_NEW_TOKENS)
+        step_keys = jax.random.split(jax.random.key(0), max_new_tokens)
+        (_, _), tokens = jax.lax.scan(body, (logits, cache), step_keys)
         if return_prefill_logits:
             # multichip dryruns compare layouts on pre-argmax logits when a
             # greedy token diverges (fp-tie diagnosis, not a sharding bug)

@@ -311,6 +311,49 @@ def _layer_mlp(lp, x, act: str = "silu", cfg: Optional["LMConfig"] = None):
     return _dense_mlp(lp, x, act, gated=cfg.mlp_gated if cfg else True)
 
 
+# The fused int8 SwiGLU half-block measured a WASH at the LM prefill shape
+# (tools_swiglu_ab.py, round 5: 407.5 ms e2e off vs 409.2-410.1 across
+# block_m 128-1024 with raised VMEM) — the 9.7k-row LM chain is far less
+# intermediate-bound than the tower's 46.6k-row MLP, so XLA's fusion holds.
+# The kernel stays available for A/B runs and non-flagship shapes.
+fused_swiglu_enabled = False
+
+
+def _mlp_half(lp, hidden, cfg: "LMConfig"):
+    """Post-attention norm + MLP + residual for one layer.
+
+    With `fused_swiglu_enabled`, the int8 serving path at prefill shapes
+    runs the whole half-block as ONE Pallas pass
+    (ops/pallas_mlp_int8.fused_swiglu_block_int8) — RMSNorm, row quant,
+    gate/up int8 matmuls, silu-gate, requant, down projection and the
+    residual add, with the (M, I) intermediates VMEM-resident. Measured a
+    wash at the flagship shape (see module comment), so the default is the
+    composed XLA math."""
+    b, s, h = hidden.shape
+    if (fused_swiglu_enabled
+            and cfg.num_local_experts == 0 and cfg.mlp_gated
+            and cfg.mlp_act == "silu" and cfg.norm_type != "layernorm"
+            and "gate_proj" in lp and "kernel_int8" in lp["gate_proj"]
+            and "bias" not in lp["gate_proj"]
+            and jax.default_backend() == "tpu" and b * s >= 1024):
+        from memory_augmented_vlm_tpu.ops.pallas_mlp_int8 import (
+            fused_swiglu_block_int8,
+        )
+
+        w = lp["post_attention_layernorm"]
+        if cfg.norm_plus_one:
+            w = 1.0 + w
+        return fused_swiglu_block_int8(
+            hidden.reshape(b * s, h), w,
+            lp["gate_proj"]["kernel_int8"], lp["gate_proj"]["scale"],
+            lp["up_proj"]["kernel_int8"], lp["up_proj"]["scale"],
+            lp["down_proj"]["kernel_int8"], lp["down_proj"]["scale"],
+            eps=cfg.rms_norm_eps,
+        ).reshape(b, s, h)
+    x = _norm(hidden, lp["post_attention_layernorm"], cfg)
+    return hidden + _layer_mlp(lp, x, cfg.mlp_act, cfg)
+
+
 def _norm(x, w, cfg: LMConfig):
     if cfg.norm_type == "layernorm":
         # MPT: bias-free LayerNorm (no_bias=True in the HF config)
@@ -478,9 +521,7 @@ def forward(
                 differentiable=differentiable_attention,
             )
             hid = residual + _proj(lp["o_proj"], attn.reshape(*hid.shape))
-            residual = hid
-            x = _norm(hid, lp["post_attention_layernorm"], cfg)
-            hid = residual + _layer_mlp(lp, x, cfg.mlp_act, cfg)
+            hid = _mlp_half(lp, hid, cfg)
             return (hid, pcos, psin, pvalid), None
 
         if remat:
@@ -559,9 +600,7 @@ def forward(
         attn = attn.reshape(b, s, -1)
         attn = _proj(lp["o_proj"], attn)
         hidden = residual + attn
-        residual = hidden
-        x = _norm(hidden, lp["post_attention_layernorm"], cfg)
-        hidden = residual + _layer_mlp(lp, x, cfg.mlp_act, cfg)
+        hidden = _mlp_half(lp, hidden, cfg)
         return hidden, (k, v)
 
     if remat:
@@ -670,9 +709,7 @@ def forward_chunk(
         vq = repeat_kv(layer_v, cfg.kv_groups)
         attn = mha_attention(q, kq, vq, mask=mask)
         hidden = residual + _proj(lp["o_proj"], attn.reshape(b, c, -1))
-        residual = hidden
-        x = _norm(hidden, lp["post_attention_layernorm"], cfg)
-        hidden = residual + _layer_mlp(lp, x, cfg.mlp_act, cfg)
+        hidden = _mlp_half(lp, hidden, cfg)
         if quant:
             return hidden, kc, vc, ksc, vsc
         return hidden, kc, vc

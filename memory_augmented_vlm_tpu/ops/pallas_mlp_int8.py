@@ -184,6 +184,111 @@ def fused_mlp_block_int8(
     return out[:m]
 
 
+def _fused_swiglu_kernel(hid_ref, w_ref, wg_ref, sg_ref, wu_ref, su_ref,
+                         wd_ref, sd_ref, out_ref, *, eps):
+    hid = hid_ref[...].astype(jnp.float32)                 # (BM, K)
+    var = jnp.mean(jnp.square(hid), axis=1, keepdims=True)
+    x = hid * jax.lax.rsqrt(var + eps) * w_ref[...]
+    sx = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True),
+                     1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x * (1.0 / sx)), -127, 127).astype(jnp.int8)
+    g = jax.lax.dot_general(
+        xq, wg_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32) * sx * sg_ref[...]
+    u = jax.lax.dot_general(
+        xq, wu_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32) * sx * su_ref[...]
+    h = jax.nn.silu(g) * u                                 # (BM, I)
+    sh = jnp.maximum(jnp.max(jnp.abs(h), axis=1, keepdims=True),
+                     1e-12) / 127.0
+    hq = jnp.clip(jnp.round(h * (1.0 / sh)), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot_general(
+        hq, wd_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    mlp = acc2.astype(jnp.float32) * sh * sd_ref[...]
+    out_ref[...] = (hid + mlp).astype(out_ref.dtype)       # residual add
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block_m",
+                                             "vmem_limit_bytes", "interpret"))
+def fused_swiglu_block_int8(
+    hidden: jax.Array,   # (M, K) bf16/f32 — PRE-norm residual stream
+    rms_w: jax.Array,    # (K,) effective RMSNorm weight (caller folds +1)
+    wg_int8: jax.Array,  # (K, I) int8 gate_proj
+    sg: jax.Array,
+    wu_int8: jax.Array,  # (K, I) int8 up_proj
+    su: jax.Array,
+    wd_int8: jax.Array,  # (I, K) int8 down_proj
+    sd: jax.Array,
+    *,
+    eps: float = 1e-6,
+    block_m: int = 256,
+    vmem_limit_bytes: int | None = 64 << 20,
+    interpret: bool = False,
+) -> jax.Array:
+    """The LM's SwiGLU MLP half-block in one kernel:
+    hidden + down(requant(silu(gate(quant(RMSNorm(hidden)))) * up(...))).
+    The (M, I) gate/up/silu intermediates never touch HBM — at the 9.7k-row
+    prefill shape the XLA int8 chain streams ~380 MB of them per layer
+    (the HEAD trace's HBM-bound `fusion` class); here HBM traffic is one
+    read + one write of the (M, K) hidden state plus the three weight
+    matrices once. Gate/up/down carry no bias (the Llama/Qwen2 MLP;
+    modeling_qwen2.py MLP has bias=False). Forward-only — the int8 LM is
+    the serving configuration (`prequantize_int8`), never trained."""
+    m, k = hidden.shape
+    i = wg_int8.shape[1]
+    block_m = min(block_m, max(((m + 7) // 8) * 8, 8))
+    mp = ((m + block_m - 1) // block_m) * block_m
+    hp = jnp.pad(hidden, ((0, mp - m), (0, 0))) if mp != m else hidden
+    kern = functools.partial(_fused_swiglu_kernel, eps=eps)
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)  # noqa: E731
+    out = pl.pallas_call(
+        kern,
+        grid=(mp // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, k), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, i), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, i), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((i, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, k), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, k), hidden.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
+        interpret=interpret,
+    )(hp, row(rms_w), wg_int8, row(sg), wu_int8, row(su), wd_int8, row(sd))
+    return out[:m]
+
+
+def fused_swiglu_block_int8_reference(hidden, rms_w, wg_int8, sg, wu_int8,
+                                      su, wd_int8, sd, eps=1e-6):
+    """jnp oracle with identical math (CPU fallback + tests)."""
+    hf = hidden.astype(jnp.float32)
+    var = jnp.mean(jnp.square(hf), axis=-1, keepdims=True)
+    x = hf * jax.lax.rsqrt(var + eps) * rms_w[None, :].astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True),
+                     1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    dot = lambda a, w: jax.lax.dot_general(  # noqa: E731
+        a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    g = dot(xq, wg_int8).astype(jnp.float32) * sx * sg[None, :]
+    u = dot(xq, wu_int8).astype(jnp.float32) * sx * su[None, :]
+    h = jax.nn.silu(g) * u
+    sh = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True),
+                     1e-12) / 127.0
+    hq = jnp.clip(jnp.round(h / sh), -127, 127).astype(jnp.int8)
+    mlp = dot(hq, wd_int8).astype(jnp.float32) * sh * sd[None, :]
+    return (hf + mlp).astype(hidden.dtype)
+
+
 def fused_mlp_block_int8_reference(hidden, ln_w, ln_b, w1_int8, s1, b1,
                                    w2_int8, s2, b2, eps=1e-6):
     """jnp oracle with identical math (CPU fallback + tests)."""

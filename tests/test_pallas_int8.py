@@ -110,3 +110,60 @@ def test_fused_mlp_block_matches_oracle_interpret():
                                          w2q, s2, b2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_swiglu_block_matches_oracle_interpret():
+    from memory_augmented_vlm_tpu.ops.pallas_mlp_int8 import (
+        fused_swiglu_block_int8,
+        fused_swiglu_block_int8_reference,
+    )
+
+    rng = np.random.default_rng(6)
+    m, k, i = 72, 64, 128
+    hidden = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    wg = rng.standard_normal((k, i)).astype(np.float32) * 0.1
+    wu = rng.standard_normal((k, i)).astype(np.float32) * 0.1
+    wd = rng.standard_normal((i, k)).astype(np.float32) * 0.1
+    wgq, sg = quantize_weight(wg)
+    wuq, su = quantize_weight(wu)
+    wdq, sd = quantize_weight(wd)
+    rmsw = jnp.asarray(1.0 + rng.standard_normal(k) * 0.05, jnp.float32)
+    out = fused_swiglu_block_int8(hidden, rmsw, wgq, sg, wuq, su, wdq, sd,
+                                  block_m=32, interpret=True)
+    ref = fused_swiglu_block_int8_reference(hidden, rmsw, wgq, sg, wuq, su,
+                                            wdq, sd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_swiglu_block_matches_composed_lm_half():
+    """The kernel's math == RMSNorm -> int8_linear gate/up -> silu-gate ->
+    int8_linear down -> residual (the exact XLA fallback in
+    qwen2._mlp_half), within int8-requant tolerance."""
+    from memory_augmented_vlm_tpu.ops.norms import rms_norm
+    from memory_augmented_vlm_tpu.ops.pallas_mlp_int8 import (
+        fused_swiglu_block_int8_reference,
+    )
+    from memory_augmented_vlm_tpu.ops.quant import int8_linear
+
+    rng = np.random.default_rng(7)
+    m, k, i = 48, 64, 96
+    hidden = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    wg = rng.standard_normal((k, i)).astype(np.float32) * 0.1
+    wu = rng.standard_normal((k, i)).astype(np.float32) * 0.1
+    wd = rng.standard_normal((i, k)).astype(np.float32) * 0.1
+    wgq, sg = quantize_weight(wg)
+    wuq, su = quantize_weight(wu)
+    wdq, sd = quantize_weight(wd)
+    rmsw = jnp.asarray(1.0 + rng.standard_normal(k) * 0.05, jnp.float32)
+    got = fused_swiglu_block_int8_reference(
+        hidden, rmsw, wgq, sg, wuq, su, wdq, sd)
+    x = rms_norm(hidden, rmsw)
+    g = int8_linear({"kernel_int8": wgq, "scale": sg}, x)
+    u = int8_linear({"kernel_int8": wuq, "scale": su}, x)
+    h = jax.nn.silu(g) * u
+    d = int8_linear({"kernel_int8": wdq, "scale": sd}, h)
+    want = hidden + d
+    rel = (np.abs(np.asarray(got) - np.asarray(want)).std()
+           / np.asarray(want).std())
+    assert rel < 2e-2, rel
