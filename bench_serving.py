@@ -26,6 +26,13 @@ from memory_augmented_vlm_tpu.models import qwen2
 from memory_augmented_vlm_tpu.serve.batch_engine import BatchEngine
 
 
+def _timed_fetch(fn, i):
+    t0 = time.perf_counter()
+    # vary the input so the relay's identical-execution cache cannot serve it
+    _ = np.asarray(fn(jnp.full((8,), float(i), jnp.float32)))
+    return time.perf_counter() - t0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num_slots", type=int, default=4)
@@ -45,6 +52,16 @@ def main():
     params = {"language_model": qwen2.init_params(
         cfg.lm, jax.random.key(0), dtype=jnp.bfloat16)}
     rng = np.random.default_rng(0)
+
+    # Measure THIS session's dispatch floor: a trivial jitted graph plus a
+    # value fetch is one full relay round trip, the same per-tick overhead
+    # the engine pays. A real deployment's dispatch is ~1 ms; the projected
+    # column below replaces the measured floor with that (VERDICT round-4
+    # item 7).
+    tiny = jax.jit(lambda x: x + 1.0)
+    _ = np.asarray(tiny(jnp.zeros((8,), jnp.float32)))
+    floor_s = min(
+        _timed_fetch(tiny, i) for i in range(8))
 
     engine = BatchEngine(params, cfg, num_slots=args.num_slots,
                          max_len=args.max_len, kv_int8=args.kv_int8,
@@ -70,6 +87,7 @@ def main():
         t_first = time.perf_counter() - t0
         n = sum(1 for f in first if f is not None)
         # timed steady state: drain the remaining tokens of all slots
+        rounds0 = engine.stats["decode_rounds"]
         t0 = time.perf_counter()
         total = 0
         for o in outs:
@@ -79,6 +97,11 @@ def main():
                     break
                 total += len(item)
         dt = time.perf_counter() - t0
+        rounds = engine.stats["decode_rounds"] - rounds0
+        # per-round device time with the relay dispatch floor subtracted;
+        # projected tok/s re-adds a 1 ms real-host dispatch per round
+        device_per_round = max(dt / max(rounds, 1) - floor_s, 1e-4)
+        projected = total / (rounds * (device_per_round + 1e-3))
         print(json.dumps({
             "metric": "serving_decode_tokens_per_s_0.5b",
             "value": round(total / dt, 1),
@@ -95,6 +118,10 @@ def main():
                 "paged_pages": args.paged_pages,
                 "engine_stats": dict(engine.stats),
                 "decode_tokens_timed": total,
+                "decode_rounds_timed": rounds,
+                "dispatch_floor_ms": round(floor_s * 1e3, 2),
+                "device_ms_per_round": round(device_per_round * 1e3, 2),
+                "projected_tokens_per_s_1ms_dispatch": round(projected, 1),
                 "steady_s": round(dt, 3),
                 "time_to_first_tokens_s": round(t_first, 3),
                 "first_tokens": n,

@@ -397,7 +397,7 @@ class BatchEngine:
         # forward/token counters (speculation telemetry; read-only for
         # callers — tokens/decode_forwards = mean accepted run length)
         self.stats = {"decode_forwards": 0, "spec_forwards": 0, "tokens": 0,
-                      "preemptions": 0}
+                      "preemptions": 0, "decode_rounds": 0}
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
@@ -928,6 +928,7 @@ class BatchEngine:
         if want_multi:
             k = self.decode_ticks
             self.stats["decode_forwards"] += k
+            self.stats["decode_rounds"] += 1
             toks, self._logits, self._cache = (
                 self._multi_pg if self.paged else self._multi)(
                 self.params, self.cfg, self._logits, self._cache,
@@ -943,6 +944,7 @@ class BatchEngine:
                         break  # tokens past the close point are discarded
             return
         self.stats["decode_forwards"] += 1
+        self.stats["decode_rounds"] += 1
         tok, self._logits, self._cache = (
             self._step_pg if self.paged else self._step)(
             self.params, self.cfg, self._logits, self._cache,
@@ -999,6 +1001,7 @@ class BatchEngine:
             return False
         self.stats["decode_forwards"] += 1
         self.stats["spec_forwards"] += 1
+        self.stats["decode_rounds"] += 1
         packed, self._logits, self._cache = self._verify(
             self.params, self.cfg, self._logits, jnp.asarray(drafts),
             self._cache, jnp.asarray(actives))
