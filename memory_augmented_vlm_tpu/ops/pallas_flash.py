@@ -262,6 +262,7 @@ def _flash_merge_kernel(
     sm_scale: float,
     nh: int,
     hd: int,
+    int8_scores: bool = False,
 ):
     b = pl.program_id(0)
     valid_len = valid_len_ref[b]
@@ -275,6 +276,41 @@ def _flash_merge_kernel(
     # 1/l folded into the output tile.
     c = sm_scale * 1.4426950408889634  # log2(e)
     for h in range(nh):
+        if int8_scores:
+            # int8 MXU mode for BOTH attention matmuls (the head_dim-72
+            # contraction pads to 128 lanes either way, so the 2x int8 rate
+            # is the only lever left on them). Per-tile SCALAR quantization:
+            # the q/k scale product and the p scale (p is in (0, 1], so
+            # x127 is exact) fold into scalars, never touching the (BQ, BK)
+            # matrix beyond the one sq*sk multiply.
+            qf = q_ref[0, h].astype(jnp.float32) * c
+            sq = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-12) / 127.0
+            qq = jnp.clip(jnp.round(qf * (1.0 / sq)), -127, 127
+                          ).astype(jnp.int8)
+            kf = k_ref[0, h].astype(jnp.float32)
+            sk = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-12) / 127.0
+            kq = jnp.clip(jnp.round(kf * (1.0 / sk)), -127, 127
+                          ).astype(jnp.int8)
+            raw = jax.lax.dot_general(
+                qq, kq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            s_scr[...] = jnp.where(
+                key_mask, raw.astype(jnp.float32) * (sq * sk), MASK_VALUE)
+            s = s_scr[...]
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            p_scr[...] = jnp.round(p * 127.0).astype(p_scr.dtype)
+            vf = v_ref[0, h].astype(jnp.float32)
+            sv = jnp.maximum(jnp.max(jnp.abs(vf)), 1e-12) / 127.0
+            vq = jnp.clip(jnp.round(vf * (1.0 / sv)), -127, 127
+                          ).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                p_scr[...], vq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            o = acc.astype(jnp.float32) * ((sv / 127.0) / l)
+            o_ref[0, :, h * hd:(h + 1) * hd] = o.astype(o_ref.dtype)
+            continue
         q = (q_ref[0, h].astype(jnp.float32) * c).astype(q_ref.dtype)  # (BQ, D)
         k = k_ref[0, h]  # (BK, D)
         s_scr[...] = jnp.where(key_mask, jax.lax.dot_general(
@@ -300,6 +336,7 @@ def flash_attention_merge_heads(
     scale: Optional[float] = None,
     block_q: int = 128,
     vmem_limit_bytes: Optional[int] = None,
+    int8_scores: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """One-shot flash attention that writes MERGED heads — (B, S_pad, NH*D),
@@ -309,7 +346,13 @@ def flash_attention_merge_heads(
     whole key axis stay parked in VMEM per batch step (the vision-tower
     case, S_pad <= ~1024 — a full-tower block set OOMs the 16 MB scoped
     VMEM). Non-causal; forward-only (the tower is frozen/stop-gradient'ed
-    on the active path, llava_arch.py:302)."""
+    on the active path, llava_arch.py:302).
+
+    ``int8_scores`` runs both attention matmuls on the int8 MXU with
+    per-tile scalar quantization (q/k/p/v) — an APPROXIMATE mode in the
+    same drift class as the int8 tower projections; qualified by the
+    flagship greedy-agreement gate before defaulting on
+    (tools_int8_qualify.py)."""
     b, nh, s_pad, d = q.shape
     scale = scale if scale is not None else d**-0.5
     block_q = min(block_q, s_pad)
@@ -317,7 +360,8 @@ def flash_attention_merge_heads(
         block_q //= 2  # s_pad is a multiple of 8, so this terminates aligned
     nq = s_pad // block_q
     kernel = functools.partial(
-        _flash_merge_kernel, sm_scale=scale, nh=nh, hd=d)
+        _flash_merge_kernel, sm_scale=scale, nh=nh, hd=d,
+        int8_scores=int8_scores)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nq),
@@ -330,7 +374,8 @@ def flash_attention_merge_heads(
                                lambda b, iq, vl: (b, iq, 0)),
         scratch_shapes=[
             pltpu.VMEM((block_q, s_pad), jnp.float32),
-            pltpu.VMEM((block_q, s_pad), jnp.bfloat16),
+            pltpu.VMEM((block_q, s_pad),
+                       jnp.int8 if int8_scores else jnp.bfloat16),
         ],
     )
     return pl.pallas_call(

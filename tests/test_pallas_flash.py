@@ -173,3 +173,30 @@ def test_merge_heads_and_out_proj_kernels_match_composed():
     rel = (np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32)).std()
            / np.asarray(want, np.float32).std())
     assert rel < 2e-2, rel
+
+
+def test_merge_heads_int8_scores_close_to_bf16_path():
+    """int8_scores (per-tile scalar quant, both matmuls on the int8 MXU)
+    stays within the int8-tower drift class of the exact path."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from memory_augmented_vlm_tpu.ops.pallas_flash import (
+        flash_attention_merge_heads,
+    )
+
+    rng = np.random.default_rng(3)
+    B, NH, S, D = 2, 4, 256, 64
+    mk = lambda: jnp.asarray(rng.standard_normal((B, NH, S, D)), jnp.bfloat16)  # noqa: E731
+    q, k, v = mk(), mk(), mk()
+    vl = jnp.asarray([256, 200], jnp.int32)
+    exact = np.asarray(
+        flash_attention_merge_heads(q, k, v, vl, interpret=True), np.float32)
+    got = np.asarray(
+        flash_attention_merge_heads(q, k, v, vl, int8_scores=True,
+                                    interpret=True), np.float32)
+    rel = np.abs(got - exact).std() / exact.std()
+    assert rel < 0.03, rel
+    # pad keys must still be fully masked (row 1 has 56 invalid keys)
+    corr = np.corrcoef(got.ravel(), exact.ravel())[0, 1]
+    assert corr > 0.999, corr

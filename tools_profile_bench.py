@@ -74,6 +74,7 @@ def analyze():
     total_ps = 0
     total_bytes = 0
     whiles = []
+    leaves = []
     for e in dev:
         a = e["args"]
         ps = int(a["device_duration_ps"])
@@ -84,10 +85,11 @@ def analyze():
             # double-count); the big `while`s ARE the stage scans — keep
             # them for the stage cross-check table below
             if k == "while":
-                whiles.append((ps, int(a.get("device_offset_ps", 0))))
+                whiles.append((ps, int(e.get("ts", 0))))
             continue
         total_ps += ps
         total_bytes += nbytes
+        leaves.append((int(e.get("ts", 0)), ps, k))
         c = agg.setdefault(k, [0, 0, 0])
         c[0] += 1
         c[1] += ps
@@ -104,8 +106,42 @@ def analyze():
               f"{nbytes/s/1e9 if s else 0:6.0f}")
     print("\nstage scans (the top `while` bodies = tower layers / prefill "
           "layers / decode loop):")
-    for ps, off in sorted(whiles, reverse=True)[:5]:
-        print(f"  {ps/1e9:8.2f} ms  (starts at +{off/1e9:.1f} ms)")
+    stages = sorted(whiles, reverse=True)[:3]
+    for ps, ts in stages:
+        print(f"  {ps/1e9:8.2f} ms  (starts at ts+{ts} us)")
+
+    # Per-stage attribution: bucket each leaf kernel into the `while` scan
+    # whose wall-clock window contains it (the three big scans are the
+    # tower layers, the prefill layers, and the decode loop — in start
+    # order). Leaves outside every window are the unscanned glue
+    # (patch-embed, memory module, splice, unembed...).
+    stages_t = sorted(
+        ((ts, ts + ps / 1e6, f"stage{idx}") for idx, (ps, ts)
+         in enumerate(sorted(stages, key=lambda x: x[1]))),
+    )
+    per_stage = {}
+    for ts, ps, k in leaves:
+        stage = "glue"
+        for t0, t1, name in stages_t:
+            if t0 <= ts <= t1:
+                stage = name
+                break
+        d = per_stage.setdefault(stage, {})
+        c = d.setdefault(k, [0, 0])
+        c[0] += 1
+        c[1] += ps
+    order = [name for _, _, name in stages_t] + ["glue"]
+    label = {}
+    if len(stages_t) == 3:
+        label = dict(zip(order[:3], ("tower", "prefill", "decode")))
+    for stage in order:
+        if stage not in per_stage:
+            continue
+        d = per_stage[stage]
+        tot = sum(ps for _, ps in d.values())
+        print(f"\n[{label.get(stage, stage)}] leaf total {tot/1e9:.1f} ms")
+        for k, (c, ps) in sorted(d.items(), key=lambda kv: -kv[1][1])[:8]:
+            print(f"  {k[:36]:36s} {c:6d} {ps/1e9:8.2f} ms")
 
 
 if __name__ == "__main__":
