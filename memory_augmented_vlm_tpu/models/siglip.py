@@ -154,12 +154,28 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
     # masked out of attention, so valid-row numerics are unchanged).
     # Default OFF until measured in-context on real hardware.
     pad_stream = fused_path and fused_oproj
-    s = -(-s0 // 128) * 128 if pad_stream else s0
+    if pad_stream:
+        s = -(-s0 // 128) * 128
+    elif fused_path:
+        # Sublane-aligned stream (729 -> 736, +0.96% rows): every batch
+        # boundary lands on an (8, 128) tile edge, so the per-layer
+        # (B, S, H) <-> (B*S, H) reshapes around the fused MLP kernel are
+        # views instead of retiles, and the fused-MLP row padding
+        # disappears (64*736 % 512 == 0). The round-5 trace showed the
+        # unaligned stream paying ~32 ms/tower in pad+reshape+slice layout
+        # ops. Valid-row numerics unchanged: pad rows are row-local,
+        # attention masks pad keys via kv_valid, sliced off after the scan.
+        # (The earlier 768-row whole-stream pad with the XLA MLP was a
+        # measured LOSS — +5.3% rows in every matmul; +0.96% is not.)
+        s = -(-s0 // 8) * 8
+    else:
+        s = s0
     if s != s0:
         hidden = jnp.pad(hidden, ((0, 0), (0, s - s0), (0, 0)))
     kv_valid = jnp.full((b,), s0, jnp.int32)
     spad = -(-s // 128) * 128
     qkv_block_r = 384 if spad % 384 == 0 else (256 if spad % 256 == 0 else 128)
+    mlp_block_m = 512 if (b * s) % 512 == 0 else 384
 
     def layer_body(hidden, lp):
         if fused_path:
@@ -202,14 +218,14 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
                     lp["out_proj"]["bias"], block_q=64, interpret=_interpret,
                 )
             else:
-                # In-context block_q sweep on v5e (tools_merge_bq_ab.py,
-                # round 4): 128 -> 285.5, 192 -> 269.0, 256 -> 268.6,
-                # 384 -> 254.2, 768 -> 257.7 ms tower. 384 needs the scoped
-                # VMEM limit raised past the 16 MB default (fits easily in
-                # the 128 MB physical VMEM); guarded on divisibility since
-                # the kernel's fallback halves block_q (power-of-two walk).
-                merge_bq, merge_vmem = (
-                    (384, 48 << 20) if spad % 384 == 0 else (128, None))
+                # In-context block_q sweeps on v5e (tools_merge_bq_ab.py):
+                # round 4 (VPU-bound kernel): 128 -> 285.5, 384 -> 254.2.
+                # round 5, after the exp2/scale-fold/1-l VPU cuts and the
+                # 736-row sublane-aligned stream, the curve is flat with
+                # the minimum back at small blocks: 128 -> 216.3,
+                # 192 -> 219.0, 256 -> 216.5, 384 -> 218.6, 768 -> 219.0 ms
+                # tower. 128 needs no raised VMEM limit.
+                merge_bq, merge_vmem = 128, None
                 attn = flash_attention_merge_heads(
                     q, k, v, kv_valid, block_q=merge_bq,
                     vmem_limit_bytes=merge_vmem, interpret=_interpret)[:, :s]
@@ -259,7 +275,7 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
                 lp["layer_norm2"]["weight"], lp["layer_norm2"]["bias"],
                 lp["fc1"]["kernel_int8"], lp["fc1"]["scale"], lp["fc1"]["bias"],
                 lp["fc2"]["kernel_int8"], lp["fc2"]["scale"], lp["fc2"]["bias"],
-                eps=cfg.layer_norm_eps, block_m=384,
+                eps=cfg.layer_norm_eps, block_m=mlp_block_m,
                 vmem_limit_bytes=48 << 20,
             ).reshape(b, s, h)
         else:
