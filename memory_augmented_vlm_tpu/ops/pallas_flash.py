@@ -75,32 +75,30 @@ def _flash_fwd_kernel(
     # skip KV blocks entirely beyond the valid length
     should_run = jnp.logical_and(should_run, ikv * block_k < valid_len)
 
-    # A power-of-two softmax scale folds into the (BQ, D) q tile exactly
-    # (exponent shift — bit-identical to scaling the fp32 scores), which is
-    # block_k/D times less VPU work than scaling the (BQ, BK) score block.
-    # D=64 -> 0.125 hits this on the LM prefill hot path.
-    pow2_scale = sm_scale != 1.0 and float(
-        np.exp2(np.rint(np.log2(sm_scale)))) == sm_scale
+    # Base-2 online softmax (round 5, same move as the merge kernel): the
+    # softmax scale AND log2(e) fold into one multiply on the (BQ, D) q tile
+    # — block_k/D times less VPU work than scaling the (BQ, BK) score block —
+    # and every transcendental becomes the VPU-native exp2. Scores/stats then
+    # live in log2 units; p_i = 2^(s_i - m) over log2-scaled scores is the
+    # same softmax. (The previous pow2-only fold kept natural-log units; the
+    # exp2 form subsumes it and also removes the non-pow2 score multiply for
+    # the D=72 tower shapes.)
+    c_log2 = sm_scale * 1.4426950408889634
 
     def _scores():
-        q = q_ref[0, 0]  # (BQ, D)
-        if pow2_scale:
-            q = q * jnp.asarray(sm_scale, q.dtype)
-        s = jax.lax.dot_general(
+        q = (q_ref[0, 0].astype(jnp.float32) * c_log2).astype(q_ref.dtype)
+        return jax.lax.dot_general(
             q, k_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (BQ, BK)
-        if sm_scale != 1.0 and not pow2_scale:
-            s *= sm_scale
-        return s
+        )  # (BQ, BK), log2-scaled
 
     def _accumulate(s):
         m_prev = m_scratch[...]  # (BQ, LANES) — lane-replicated row stats
         l_prev = l_scratch[...]
         m_curr = jnp.max(s, axis=1)[:, None]  # (BQ, 1)
         m_next = jnp.maximum(m_prev, m_curr)  # broadcast -> (BQ, LANES)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])        # (BQ, BK)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])       # (BQ, BK)
         l_curr = jnp.sum(p, axis=1)[:, None]  # (BQ, 1)
         l_next = alpha * l_prev + l_curr
         m_scratch[...] = m_next

@@ -68,27 +68,34 @@ def _fwd_lse_kernel(
         should_run = True
     should_run = jnp.logical_and(should_run, ikv * block_k < valid_len)
 
-    @pl.when(should_run)
-    def _run():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        if sm_scale != 1.0:
-            s *= sm_scale
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_k
-        mask = col_ids < valid_len
-        if causal:
-            mask = jnp.logical_and(mask, col_ids <= row_ids)
-        s = jnp.where(mask, s, MASK_VALUE)
+    # base-2 online softmax (round 5, same as the inference kernels): the
+    # softmax scale and log2(e) fold into one multiply on the (BQ, D) q
+    # tile, every transcendental is the VPU-native exp2, and the stored lse
+    # is in LOG2 units — the dq/dkv kernels consume it as exp2(st - lse).
+    c_log2 = sm_scale * 1.4426950408889634
+    # interior blocks (not crossed by the causal diagonal or the valid-length
+    # edge) skip the iota/compare/select mask entirely — the round-4 forward
+    # trick, which the backward never got (VERDICT round-4 item 4)
+    needs_valid_mask = (ikv + 1) * block_k > valid_len
+    if causal:
+        needs_mask = jnp.logical_or(
+            ((ikv + 1) * block_k - 1) > (iq * block_q), needs_valid_mask)
+    else:
+        needs_mask = needs_valid_mask
 
+    def _scores():
+        q = (q_ref[0, 0].astype(jnp.float32) * c_log2).astype(q_ref.dtype)
+        return jax.lax.dot_general(
+            q, k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def _accumulate(s):
         m_prev = m_scratch[...]
         l_prev = l_scratch[...]
         m_curr = jnp.max(s, axis=1)[:, None]
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])
         l_curr = jnp.sum(p, axis=1)[:, None]
         l_next = alpha * l_prev + l_curr
         m_scratch[...] = m_next
@@ -97,6 +104,20 @@ def _fwd_lse_kernel(
         o_curr = jax.lax.dot(p.astype(v.dtype), v,
                              preferred_element_type=jnp.float32)
         acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + o_curr
+
+    @pl.when(jnp.logical_and(should_run, needs_mask))
+    def _run_masked():
+        s = _scores()
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ikv * block_k
+        mask = col_ids < valid_len
+        if causal:
+            mask = jnp.logical_and(mask, col_ids <= row_ids)
+        _accumulate(jnp.where(mask, s, MASK_VALUE))
+
+    @pl.when(jnp.logical_and(should_run, jnp.logical_not(needs_mask)))
+    def _run_interior():
+        _accumulate(_scores())
 
     if causal:
         last_needed = jnp.minimum(
@@ -111,7 +132,8 @@ def _fwd_lse_kernel(
         l = l_scratch[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
-        lse = m_scratch[...] + jnp.log(jnp.maximum(l_scratch[...], 1e-30))
+        # LOG2 units (m is log2-scaled; log2(l) completes the lse)
+        lse = m_scratch[...] + jnp.log2(jnp.maximum(l_scratch[...], 1e-30))
         # (block_q, 1) -> (8, block_q) row layout (8 = min fp32 sublane tile):
         # one small relayout per q block, amortized over the whole kv loop
         lse_ref[0, 0] = jnp.broadcast_to(
@@ -146,32 +168,56 @@ def _dq_kernel(
         should_run = True
     should_run = jnp.logical_and(should_run, ikv * block_k < valid_len)
 
-    @pl.when(should_run)
-    def _run():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]
-        lse = lse_ref[0, 0][:1]      # (1, BQ) fp32
-        delta = delta_ref[0, 0][:1]  # (1, BQ) fp32
+    # lse arrives in LOG2 units (see _fwd_lse_kernel); st is log2-scaled by
+    # folding sm_scale*log2(e) onto the q tile, so pt = exp2(st - lse) gives
+    # the same probabilities. dst stays in RAW-score units (the sm_scale
+    # factor is the d(scaled)/d(raw) chain-rule term, unchanged by the base).
+    c_log2 = sm_scale * 1.4426950408889634
+    needs_valid_mask = (ikv + 1) * block_k > valid_len
+    if causal:
+        needs_mask = jnp.logical_or(
+            ((ikv + 1) * block_k - 1) > (iq * block_q), needs_valid_mask)
+    else:
+        needs_mask = needs_valid_mask
+
+    def _pt(masked):
+        q = (q_ref[0, 0].astype(jnp.float32) * c_log2).astype(q_ref.dtype)
+        lse = lse_ref[0, 0][:1]      # (1, BQ) fp32, log2 units
         # transposed scores: rows = kv positions, cols = q positions
         st = jax.lax.dot_general(
-            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        if sm_scale != 1.0:
-            st *= sm_scale
-        kv_ids = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + ikv * block_k
-        q_ids = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1) + iq * block_q
-        mask = kv_ids < valid_len
-        if causal:
-            mask = jnp.logical_and(mask, kv_ids <= q_ids)
-        pt = jnp.where(mask, jnp.exp(st - lse), 0.0)            # (BK, BQ)
+            k_ref[0, 0], q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        pt = jnp.exp2(st - lse)
+        if masked:
+            kv_ids = jax.lax.broadcasted_iota(
+                jnp.int32, st.shape, 0) + ikv * block_k
+            q_ids = jax.lax.broadcasted_iota(
+                jnp.int32, st.shape, 1) + iq * block_q
+            mask = kv_ids < valid_len
+            if causal:
+                mask = jnp.logical_and(mask, kv_ids <= q_ids)
+            pt = jnp.where(mask, pt, 0.0)
+        return pt                                               # (BK, BQ)
+
+    def _accum(pt):
+        k = k_ref[0, 0]
+        delta = delta_ref[0, 0][:1]  # (1, BQ) fp32
         dpt = jax.lax.dot_general(
-            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            v_ref[0, 0], do_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         dst = pt * (dpt - delta) * sm_scale                     # (BK, BQ)
         # dq += ds^T-contraction @ k : contract the kv dim of both operands
         dq_scratch[...] += jax.lax.dot_general(
             dst.astype(k.dtype), k, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_and(should_run, needs_mask))
+    def _run_masked():
+        _accum(_pt(True))
+
+    @pl.when(jnp.logical_and(should_run, jnp.logical_not(needs_mask)))
+    def _run_interior():
+        _accum(_pt(False))
 
     @pl.when(ikv == num_kv_blocks - 1)
     def _store():
@@ -208,33 +254,56 @@ def _dkv_kernel(
         should_run = True
     should_run = jnp.logical_and(should_run, jk * block_k < valid_len)
 
-    @pl.when(should_run)
-    def _run():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]
-        lse = lse_ref[0, 0][:1]      # (1, BQ) fp32
-        delta = delta_ref[0, 0][:1]  # (1, BQ) fp32
+    # same base-2 + mask-free-interior scheme as _dq_kernel (lse in log2
+    # units; pad-query columns self-neutralize through zero dO rows)
+    c_log2 = sm_scale * 1.4426950408889634
+    needs_valid_mask = (jk + 1) * block_k > valid_len
+    if causal:
+        needs_mask = jnp.logical_or(
+            ((jk + 1) * block_k - 1) > (iq * block_q), needs_valid_mask)
+    else:
+        needs_mask = needs_valid_mask
+
+    def _pt(masked):
+        qc = (q_ref[0, 0].astype(jnp.float32) * c_log2).astype(q_ref.dtype)
+        lse = lse_ref[0, 0][:1]      # (1, BQ) fp32, log2 units
         st = jax.lax.dot_general(
-            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        if sm_scale != 1.0:
-            st *= sm_scale
-        kv_ids = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + jk * block_k
-        q_ids = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1) + iq * block_q
-        mask = kv_ids < valid_len
-        if causal:
-            mask = jnp.logical_and(mask, kv_ids <= q_ids)
-        pt = jnp.where(mask, jnp.exp(st - lse), 0.0)            # (BK, BQ)
+            k_ref[0, 0], qc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        pt = jnp.exp2(st - lse)
+        if masked:
+            kv_ids = jax.lax.broadcasted_iota(
+                jnp.int32, st.shape, 0) + jk * block_k
+            q_ids = jax.lax.broadcasted_iota(
+                jnp.int32, st.shape, 1) + iq * block_q
+            mask = kv_ids < valid_len
+            if causal:
+                mask = jnp.logical_and(mask, kv_ids <= q_ids)
+            pt = jnp.where(mask, pt, 0.0)
+        return pt                                               # (BK, BQ)
+
+    def _accum(pt):
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        delta = delta_ref[0, 0][:1]  # (1, BQ) fp32
         # dv += p^T @ do — already transposed, a natural contraction
         dv_scratch[...] += jax.lax.dot(
             pt.astype(do.dtype), do, preferred_element_type=jnp.float32)
         dpt = jax.lax.dot_general(
-            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            v_ref[0, 0], do, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         dst = pt * (dpt - delta) * sm_scale
         # dk += ds^T @ q — natural contraction in transposed space
         dk_scratch[...] += jax.lax.dot(
             dst.astype(q.dtype), q, preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_and(should_run, needs_mask))
+    def _run_masked():
+        _accum(_pt(True))
+
+    @pl.when(jnp.logical_and(should_run, jnp.logical_not(needs_mask)))
+    def _run_interior():
+        _accum(_pt(False))
 
     @pl.when(iq == num_q_blocks - 1)
     def _store():
@@ -269,13 +338,25 @@ def _forward_with_lse(q, k, v, kv_valid_len, causal, scale, block_q, block_k,
     kernel = functools.partial(
         _fwd_lse_kernel, causal=causal, sm_scale=scale, block_q=block_q,
         block_k=block_k, num_kv_blocks=nkv)
+
+    def kv_index(b_i, h_i, iq, ikv, vl):
+        # skipped grid steps redirect their K/V fetch to block 0 so the
+        # double-buffered DMA never streams bytes the body won't read
+        # (round-4 forward trick; a causal backward skips ~half its grid)
+        run = ikv * block_k < vl[b_i]
+        if causal:
+            run = jnp.logical_and(
+                run, ((iq + 1) * block_q - 1) >= (ikv * block_k))
+        nxt = jax.lax.select(run, ikv, 0)
+        return (b_i, h_i, nxt, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, h, nq, nkv),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ikv, vl: (b, h, ikv, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ikv, vl: (b, h, ikv, 0)),
+            pl.BlockSpec((1, 1, block_k, d), kv_index),
+            pl.BlockSpec((1, 1, block_k, d), kv_index),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
@@ -325,13 +406,23 @@ def _backward(q, k, v, out, lse, g, kv_valid_len, causal, scale, block_q,
     dq_kernel = functools.partial(
         _dq_kernel, causal=causal, sm_scale=scale, block_q=block_q,
         block_k=block_k, num_kv_blocks=nkv)
+
+    def dq_kv_index(b_i, h_i, iq, ikv, vl):
+        # skipped-step DMA redirect (see _forward_with_lse.kv_index)
+        run = ikv * block_k < vl[b_i]
+        if causal:
+            run = jnp.logical_and(
+                run, ((iq + 1) * block_q - 1) >= (ikv * block_k))
+        nxt = jax.lax.select(run, ikv, 0)
+        return (b_i, h_i, nxt, 0)
+
     dq_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, h, nq, nkv),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ikv, vl: (b, h, ikv, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ikv, vl: (b, h, ikv, 0)),
+            pl.BlockSpec((1, 1, block_k, d), dq_kv_index),
+            pl.BlockSpec((1, 1, block_k, d), dq_kv_index),
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ikv, vl: (b, h, iq, 0)),
             pl.BlockSpec((1, 1, 8, block_q),
                          lambda b, h, iq, ikv, vl: (b, h, 0, iq)),
@@ -355,18 +446,36 @@ def _backward(q, k, v, out, lse, g, kv_valid_len, causal, scale, block_q,
     dkv_kernel = functools.partial(
         _dkv_kernel, causal=causal, sm_scale=scale, block_q=block_q,
         block_k=block_k, num_q_blocks=nq)
+
+    def dkv_run(b_i, jk, iq, vl):
+        run = jk * block_k < vl[b_i]
+        if causal:
+            run = jnp.logical_and(
+                run, ((iq + 1) * block_q - 1) >= (jk * block_k))
+        return run
+
+    def dkv_q_index(b_i, h_i, jk, iq, vl):
+        # q-major operands: redirect skipped steps' fetches to the first
+        # q block this kv block will actually consume
+        first = (jk * block_k) // block_q if causal else 0
+        nxt = jax.lax.select(dkv_run(b_i, jk, iq, vl), iq, first)
+        return (b_i, h_i, nxt, 0)
+
+    def dkv_row_index(b_i, h_i, jk, iq, vl):
+        first = (jk * block_k) // block_q if causal else 0
+        nxt = jax.lax.select(dkv_run(b_i, jk, iq, vl), iq, first)
+        return (b_i, h_i, 0, nxt)
+
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, h, nkv, nq),
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b, h, jk, iq, vl: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, d), dkv_q_index),
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, jk, iq, vl: (b, h, jk, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, jk, iq, vl: (b, h, jk, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda b, h, jk, iq, vl: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, 8, block_q),
-                         lambda b, h, jk, iq, vl: (b, h, 0, iq)),
-            pl.BlockSpec((1, 1, 8, block_q),
-                         lambda b, h, jk, iq, vl: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, block_q, d), dkv_q_index),
+            pl.BlockSpec((1, 1, 8, block_q), dkv_row_index),
+            pl.BlockSpec((1, 1, 8, block_q), dkv_row_index),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, jk, iq, vl: (b, h, jk, 0)),
