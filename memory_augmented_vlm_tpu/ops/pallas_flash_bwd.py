@@ -330,7 +330,7 @@ def _pad_qkv(q, k, v, block_q, block_k):
 
 
 def _forward_with_lse(q, k, v, kv_valid_len, causal, scale, block_q, block_k,
-                      interpret):
+                      interpret, vmem_limit_bytes=None):
     b, sq, h, d = q.shape
     q, k, v, sq_pad, skv_pad = _pad_qkv(q, k, v, block_q, block_k)
     qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
@@ -378,6 +378,7 @@ def _forward_with_lse(q, k, v, kv_valid_len, causal, scale, block_q, block_k,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_bytes,
         ),
         interpret=interpret,
     )(kv_valid_len, qt, kt, vt)
@@ -386,7 +387,7 @@ def _forward_with_lse(q, k, v, kv_valid_len, causal, scale, block_q, block_k,
 
 
 def _backward(q, k, v, out, lse, g, kv_valid_len, causal, scale, block_q,
-              block_k, interpret):
+              block_k, interpret, vmem_limit_bytes=None):
     b, sq, h, d = q.shape
     skv = k.shape[1]
     q_p, k_p, v_p, sq_pad, skv_pad = _pad_qkv(q, k, v, block_q, block_k)
@@ -439,6 +440,7 @@ def _backward(q, k, v, out, lse, g, kv_valid_len, causal, scale, block_q,
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_bytes,
         ),
         interpret=interpret,
     )(kv_valid_len, qt, kt, vt, dot, lse, delta)
@@ -495,6 +497,7 @@ def _backward(q, k, v, out, lse, g, kv_valid_len, causal, scale, block_q,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_bytes,
         ),
         interpret=interpret,
     )(kv_valid_len, qt, kt, vt, dot, lse, delta)
@@ -512,24 +515,24 @@ def _backward(q, k, v, out, lse, g, kv_valid_len, causal, scale, block_q,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _flash_train(static, q, k, v, kv_valid_len):
-    causal, scale, block_q, block_k, interpret = static
+    causal, scale, block_q, block_k, interpret, vmem = static
     out, _ = _forward_with_lse(q, k, v, kv_valid_len, causal, scale,
-                               block_q, block_k, interpret)
+                               block_q, block_k, interpret, vmem)
     return out
 
 
 def _flash_train_fwd(static, q, k, v, kv_valid_len):
-    causal, scale, block_q, block_k, interpret = static
+    causal, scale, block_q, block_k, interpret, vmem = static
     out, lse = _forward_with_lse(q, k, v, kv_valid_len, causal, scale,
-                                 block_q, block_k, interpret)
+                                 block_q, block_k, interpret, vmem)
     return out, (q, k, v, out, lse, kv_valid_len)
 
 
 def _flash_train_bwd(static, res, g):
-    causal, scale, block_q, block_k, interpret = static
+    causal, scale, block_q, block_k, interpret, vmem = static
     q, k, v, out, lse, kv_valid_len = res
     dq, dk, dv = _backward(q, k, v, out, lse, g, kv_valid_len, causal, scale,
-                           block_q, block_k, interpret)
+                           block_q, block_k, interpret, vmem)
     return dq, dk, dv, np.zeros(kv_valid_len.shape, jax.dtypes.float0)
 
 
@@ -538,7 +541,7 @@ _flash_train.defvjp(_flash_train_fwd, _flash_train_bwd)
 
 @functools.partial(
     jax.jit, static_argnames=("causal", "scale", "block_q", "block_k",
-                              "interpret"))
+                              "interpret", "vmem_limit_bytes"))
 def flash_attention_train(
     q: jax.Array,  # (B, S, H, D)
     k: jax.Array,
@@ -550,6 +553,7 @@ def flash_attention_train(
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
+    vmem_limit_bytes: Optional[int] = None,
 ) -> jax.Array:
     """Differentiable flash attention with a tiled Pallas backward.
 
@@ -567,5 +571,6 @@ def flash_attention_train(
     if kv_valid_len is None:
         kv_valid_len = jnp.full((b,), skv, jnp.int32)
     kv_valid_len = kv_valid_len.astype(jnp.int32)
-    return _flash_train((causal, scale, block_q, block_k, interpret),
-                        q, k, v, kv_valid_len)
+    return _flash_train(
+        (causal, scale, block_q, block_k, interpret, vmem_limit_bytes),
+        q, k, v, kv_valid_len)
