@@ -57,10 +57,15 @@ def main(argv=None):
                    help="ship raw uint8 video frames to the chip; resize+"
                         "normalize run in the tower jit (ops/preprocess.py) "
                         "instead of the host PIL loop")
+    p.add_argument("--load-8bit", action="store_true",
+                   help="serve the checkpoint in the qualified full-int8 "
+                        "config (the reference's bitsandbytes load_8bit, "
+                        "builder.py:30-34)")
     args = p.parse_args(argv)
 
     tokenizer, model, image_processor, _ = load_pretrained_model(
         args.model_path, args.model_base, "llava_qwen",
+        load_8bit=args.load_8bit,
         device_preprocess=args.device_preprocess)
     questions = get_chunk(load_questions(args.question_file)[: args.test_size],
                           args.num_chunks, args.chunk_idx)
