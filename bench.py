@@ -286,6 +286,19 @@ def main():
     latency = min(times)
     visual_tok_per_s = n_visual / latency
 
+    # this session's dispatch floor (one trivial jitted round trip — the
+    # per-call relay overhead a real host pays ~1 ms for); the projected
+    # row is reported as detail only, the headline stays the measured value
+    tiny = jax.jit(lambda x: x + 1.0)
+    jax.block_until_ready(tiny(jnp.zeros((8,), jnp.float32)))
+    floors = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        jax.block_until_ready(tiny(jnp.full((8,), float(i), jnp.float32)))
+        floors.append(time.perf_counter() - t0)
+    floor_s = min(floors)
+    projected_latency = max(latency - floor_s + 1e-3, 1e-3)
+
     print(json.dumps({
         "metric": metric_name,
         "value": round(visual_tok_per_s, 1),
@@ -293,6 +306,10 @@ def main():
         "vs_baseline": round(visual_tok_per_s / baseline, 3),
         "detail": {
             "latency_s": round(latency, 4),
+            "dispatch_floor_ms": round(floor_s * 1e3, 2),
+            "projected_latency_s_1ms_dispatch": round(projected_latency, 4),
+            "projected_vs_baseline_1ms_dispatch": round(
+                n_visual / projected_latency / baseline, 3),
             "visual_tokens": n_visual,
             "frames": nframes,
             "segments": nseg,
