@@ -224,8 +224,11 @@ def forward(params, cfg: VisionConfig, pixel_values: jax.Array, *,
                 # 736-row sublane-aligned stream, the curve is flat with
                 # the minimum back at small blocks: 128 -> 216.3,
                 # 192 -> 219.0, 256 -> 216.5, 384 -> 218.6, 768 -> 219.0 ms
-                # tower. 128 needs no raised VMEM limit.
-                merge_bq, merge_vmem = 128, None
+                # tower. The explicit 32 MB limit is required: inside the
+                # FULL pipeline graph XLA picks operand layouts that push
+                # the kernel's scoped stack to 24.3 MB (the encode-only
+                # sweep graph compiled under the default limit).
+                merge_bq, merge_vmem = 128, 32 << 20
                 attn = flash_attention_merge_heads(
                     q, k, v, kv_valid, block_q=merge_bq,
                     vmem_limit_bytes=merge_vmem, interpret=_interpret)[:, :s]
