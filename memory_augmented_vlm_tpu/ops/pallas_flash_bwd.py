@@ -551,7 +551,9 @@ def flash_attention_train(
     kv_valid_len: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     block_q: int = 512,
-    block_k: int = 512,
+    block_k: int = 1024,  # round-5 sweep at the flagship shape: 512/1024 =
+                          # 31.9 ms fwd+bwd incl dispatch vs 34.7 at 512/512
+                          # (tools_flashbwd_sweep.py)
     interpret: bool = False,
     vmem_limit_bytes: Optional[int] = None,
 ) -> jax.Array:
