@@ -143,13 +143,19 @@ def main(argv=None):
                     max_new_tokens=args.max_new_tokens,
                     eos_token_id=tokenizer.convert_tokens_to_ids("<|im_end|>"),
                 )
-                return tokenizer.decode(out[0],
-                                        skip_special_tokens=True).strip()
+                return (tokenizer.decode(out[0],
+                                         skip_special_tokens=True).strip(),
+                        [int(t) for t in np.asarray(out[0]).tolist()])
 
+            ans_text, ans_ids = answer_one(text)
             row = {
                 "question_id": q.get("question_id", q.get("id")),
                 "prompt": text,
-                "text": answer_one(text),
+                "text": ans_text,
+                # raw generated ids: synthetic-checkpoint A/Bs (e.g. the
+                # int8 agreement gate) compare these — a tiny test
+                # tokenizer may decode unknown ids to the empty string
+                "output_ids": ans_ids,
                 "model_id": os.path.basename(args.model_path.rstrip("/")),
             }
             if q.get("answer") or q.get("A"):
@@ -165,7 +171,7 @@ def main(argv=None):
                 if pixels is not None and \
                         constants.DEFAULT_IMAGE_TOKEN not in q2:
                     q2 = constants.DEFAULT_IMAGE_TOKEN + "\n" + q2
-                row["pred2"] = answer_one(q2 + args.extra_prompt)
+                row["pred2"] = answer_one(q2 + args.extra_prompt)[0]
             ans_file.write(json.dumps(row) + "\n")
             ans_file.flush()
 

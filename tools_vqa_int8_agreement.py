@@ -123,20 +123,29 @@ def main():
         subprocess.run(cmd, check=True, cwd=os.path.dirname(
             os.path.abspath(__file__)))
         with open(out) as f:
-            answers[tag] = {json.loads(l)["question_id"]: json.loads(l)["text"]
-                            for l in f if l.strip()}
+            rows = [json.loads(l) for l in f if l.strip()]
+        # compare the raw generated ids — the synthetic checkpoint's tiny
+        # test tokenizer decodes out-of-vocab ids to the empty string, so a
+        # text-only comparison would be vacuous
+        answers[tag] = {r["question_id"]: tuple(r["output_ids"])
+                        for r in rows}
 
     n = len(answers["bf16"])
-    same = sum(1 for qid in answers["bf16"]
-               if answers["bf16"][qid] == answers["int8"].get(qid))
+    same, tok_agree = 0, []
     for qid in sorted(answers["bf16"]):
-        a, b = answers["bf16"][qid], answers["int8"].get(qid, "")
+        a, b = answers["bf16"][qid], answers["int8"].get(qid, ())
+        same += int(a == b)
+        m = max(len(a), len(b), 1)
+        tok_agree.append(
+            sum(x == y for x, y in zip(a, b)) / m)
         mark = "==" if a == b else "!="
-        print(f"q{qid}: {mark} bf16={a[:60]!r} int8={b[:60]!r}")
+        print(f"q{qid}: {mark} len {len(a)}/{len(b)} "
+              f"ids bf16={list(a[:8])} int8={list(b[:8])}")
     print(json.dumps({
         "metric": "int8_vqa_answer_agreement",
         "questions": n,
         "exact_match": f"{same}/{n}",
+        "mean_token_agreement": round(sum(tok_agree) / max(n, 1), 4),
         "frames": args.frames,
         "max_new_tokens": args.max_new_tokens,
     }))
