@@ -154,7 +154,8 @@ def _flash_fwd_kernel(
 
 
 def _pallas_forward(q, k, v, kv_valid_len, causal, scale, block_q, block_k,
-                    interpret, layout="bshd", static_valid_len=None):
+                    interpret, layout="bshd", static_valid_len=None,
+                    vmem_limit_bytes=None):
     if layout == "bhsd":
         # caller already supplies head-major tensors (e.g. the fused int8
         # QKV kernel, ops/pallas_qkv_int8.py) — no HBM transposes needed
@@ -233,6 +234,7 @@ def _pallas_forward(q, k, v, kv_valid_len, causal, scale, block_q, block_k,
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_bytes,
         ),
         interpret=interpret,
     )(kv_valid_len, qt, kt, vt)
@@ -551,13 +553,14 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 @functools.partial(
     jax.jit, static_argnames=("causal", "scale", "block_q", "block_k",
-                              "interpret", "layout", "static_valid_len")
+                              "interpret", "layout", "static_valid_len",
+                              "vmem_limit_bytes")
 )
 def _pallas_flash_attention_jit(q, k, v, kv_valid_len, *, causal, scale,
                                 block_q, block_k, interpret, layout,
-                                static_valid_len):
+                                static_valid_len, vmem_limit_bytes=None):
     return _flash((causal, scale, block_q, block_k, interpret, layout,
-                   static_valid_len),
+                   static_valid_len, vmem_limit_bytes),
                   q, k, v, kv_valid_len)
 
 
@@ -574,6 +577,7 @@ def pallas_flash_attention(
     interpret: bool = False,
     layout: str = "bshd",
     static_valid_len: Optional[int] = None,
+    vmem_limit_bytes: Optional[int] = None,
 ) -> jax.Array:
     """Flash attention; q and k/v sequence lengths may differ
     (cross-attention). Sequences are padded to block multiples internally;
@@ -618,4 +622,4 @@ def pallas_flash_attention(
     return _pallas_flash_attention_jit(
         q, k, v, kv_valid_len, causal=causal, scale=scale, block_q=block_q,
         block_k=block_k, interpret=interpret, layout=layout,
-        static_valid_len=static_valid_len)
+        static_valid_len=static_valid_len, vmem_limit_bytes=vmem_limit_bytes)
